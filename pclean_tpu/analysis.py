@@ -1,0 +1,168 @@
+"""Accuracy evaluation and result export.
+
+Counterpart of /root/reference/src/analysis.jl: cell-level repair scoring
+(evaluate_accuracy, analysis.jl:36-88), its prefix-N variant (90-143), and
+CSV export of the reconstructed dataset + inferred latent tables
+(save_results/save_tables, analysis.jl:8-33).
+"""
+from __future__ import annotations
+
+import csv
+import datetime
+import os
+from typing import Any, Optional
+
+import numpy as np
+
+from .domains import CATEGORICAL, FLOAT
+from .engine.compile import CompiledModel
+from .engine.propose import row_value
+from .engine.refresh import refresh
+from .model.ir import ChoiceNode, ComputeNode, ForeignKeyNode, SubmodelNode
+from .model.query import ObservedDataset, Query
+
+
+def read_cell_values(cm: CompiledModel, arenas: dict, params: dict,
+                     cid: str, vid: int) -> list:
+    """Decode one queried vertex for every row of an observed class
+    (host-side; computes are re-derived through fk indirection)."""
+    lay = cm.layouts[cid]
+    import jax.numpy as jnp
+
+    vals = np.asarray(row_value(cm, arenas, params, cid, vid,
+                                jnp.arange(lay.capacity)))
+    from .model.ir import strip_subnodes
+
+    if isinstance(strip_subnodes(cm.node(cid, vid)), ForeignKeyNode):
+        return [int(v) for v in vals]
+    dom = cm.domain(cid, vid)
+    if dom is None or dom.kind == FLOAT:
+        return [float(v) for v in vals]
+    return [dom.vocab.decode(int(v)) if 0 <= int(v) < len(dom.vocab) else None
+            for v in vals]
+
+
+def evaluate_accuracy(cm: CompiledModel, arenas: dict, params: dict,
+                      dirty: dict[str, list], clean: dict[str, list],
+                      query: Query, up_to: Optional[int] = None,
+                      verbose: bool = False) -> dict:
+    """Cell-level scoring (analysis.jl:36-88; up_to -> 90-143).
+
+    dirty/clean: {column: values} with None for missing.
+    """
+    ours: dict[str, list] = {}
+    for col, vid in query.cleanmap.items():
+        ours[col] = read_cell_values(cm, arenas, params, query.class_id, vid)
+
+    n_rows = len(next(iter(dirty.values())))
+    errors = changed = cleaned = imputed = imputed_ok = 0
+    for i in range(n_rows):
+        if up_to is not None and i >= up_to:
+            break
+        for col in clean:
+            if col not in dirty:
+                continue
+            d = dirty[col][i]
+            c = clean[col][i]
+            if d is None:
+                if col in ours and c is not None:
+                    imputed += 1
+                    if _eq(ours[col][i], c):
+                        imputed_ok += 1
+                continue
+            if not _eq(d, c):
+                errors += 1
+            if col in ours:
+                o = ours[col][i]
+                if not _eq(o, d):
+                    changed += 1
+                    if _eq(o, c):
+                        cleaned += 1
+                    elif verbose:
+                        print(f"Changed: {d!r} -> {o!r} instead of {c!r}")
+                elif verbose and not _eq(d, c):
+                    print(f"Left unchanged: {d!r} (should be {c!r})")
+    precision = (cleaned + imputed_ok) / max(changed + imputed, 1)
+    recall = (cleaned + imputed_ok) / max(errors + imputed, 1)
+    f1 = 0.0 if precision + recall == 0 else \
+        2.0 / (1.0 / max(precision, 1e-12) + 1.0 / max(recall, 1e-12))
+    return dict(f1=f1, errors=errors, changed=changed, cleaned=cleaned,
+                precision=precision, recall=recall, imputed=imputed,
+                correctly_imputed=imputed_ok)
+
+
+def _eq(a: Any, b: Any) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            return abs(float(a) - float(b)) <= 1e-9 * max(1.0, abs(float(b)))
+        except (TypeError, ValueError):
+            return False
+    return a == b
+
+
+def save_results(cm: CompiledModel, arenas: dict, params: dict,
+                     out_dir: str, name: str,
+                     datasets: list[ObservedDataset],
+                     timestamp: bool = True) -> str:
+    """save_results (analysis.jl:15-33): reconstructed flat CSV per observed
+    dataset + one CSV per latent class."""
+    if timestamp:
+        out_dir = os.path.join(out_dir,
+                               f"{name}-{datetime.datetime.now().isoformat()}")
+    else:
+        out_dir = os.path.join(out_dir, name)
+    os.makedirs(out_dir, exist_ok=True)
+    for ds in datasets:
+        q = ds.query
+        cols = ds.columns()
+        out = {}
+        for col, vals in cols.items():
+            if col in q.cleanmap:
+                out[col] = read_cell_values(cm, arenas, params, q.class_id,
+                                            q.cleanmap[col])[: len(vals)]
+            else:
+                out[col] = vals
+        _write_csv(os.path.join(out_dir, f"reconstructed_{q.class_id}.csv"), out)
+    save_tables(cm, arenas, params, out_dir)
+    return out_dir
+
+
+def save_tables(cm: CompiledModel, arenas: dict, params: dict,
+                out_dir: str) -> None:
+    """save_tables (analysis.jl:8-13): one CSV per latent class with its
+    named choice/compute/fk attributes for live rows."""
+    import jax.numpy as jnp
+
+    obs_classes = {s.class_id for s in cm.obs_specs}
+    obs_dev = {}
+    for spec in cm.obs_specs:
+        obs_dev[spec.class_id] = {v: (jnp.asarray(c), jnp.asarray(s))
+                                  for v, (c, s) in spec.columns.items()}
+    rel = refresh(cm, arenas, obs_dev)
+    for cid in cm.model.class_order:
+        if cid in obs_classes:
+            continue
+        c = cm.cls(cid)
+        lay = cm.layouts[cid]
+        alive = np.asarray(rel[cid]["alive"])
+        ids = [int(i) for i in np.flatnonzero(alive)]
+        out = {"id": ids}
+        for nm, vid in c.names.items():
+            node = c.nodes[vid]
+            if not isinstance(node, (ChoiceNode, ComputeNode, ForeignKeyNode)):
+                continue
+            vals = read_cell_values(cm, arenas, params, cid, vid)
+            out[nm] = [vals[i] for i in ids]
+        _write_csv(os.path.join(out_dir, f"inferred_{cid}.csv"), out)
+
+
+def _write_csv(path: str, cols: dict[str, list]) -> None:
+    keys = list(cols)
+    n = max((len(v) for v in cols.values()), default=0)
+    with open(path, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(keys)
+        for i in range(n):
+            w.writerow([cols[k][i] if i < len(cols[k]) else "" for k in keys])

@@ -1,0 +1,680 @@
+"""Block-proposal tracer: dense enumerative proposals as one XLA program.
+
+TPU-native replacement for the reference's JIT proposal compiler + block
+interpreter (/root/reference/src/inference/proposal_compiler.jl:5-418,
+block_proposal.jl). Where the reference emits specialized Julia nested loops
+per (block, missingness-pattern) and crosses a world-age JIT boundary per
+pattern (block_proposal.jl:169-175), here the Plan forest is walked once in
+Python while JAX traces it, producing a single fused program per
+(class, block) covering every missingness pattern through masks:
+
+  * unobserved enumerable choice -> dense option axis with proposal
+    log-weights (`discrete_proposal` analogue); observed -> delta at the
+    observed code scored with `logdensity`. One logsumexp then yields either
+    a marginal or a conditional, subsuming per-pattern specialization;
+  * reference slot -> (capacity+1) candidate axis: alive rows scored via
+    gathers of their attribute codes (the hash restriction of
+    proposal_compiler.jl:142-151 becomes an equality mask over the arena),
+    plus one "fresh row" branch traced in generate mode (the blind
+    generation of proposal_compiler.jl:249-258);
+  * sibling plan subtrees are conditionally independent -> additive logZ
+    terms (plan semantics, model.jl:66-81);
+  * external likelihood nodes (rejuvenation) -> masked sums over the
+    referring class's capacity axis (block_proposal.jl:119-155, vectorized).
+
+The incremental particle weight is the root logZ plus deferred-node terms,
+which equals the reference's p - q_disc - q_cont telescoped over an exact
+block-Gibbs proposal (block_proposal.jl:160-191): for every enumerated
+choice, prior(chosen) - posterior(chosen) + downstream(chosen) = logZ.
+
+Sampling is a second top-down pass over the recorded per-node posterior
+arrays. Retained-particle forcing (CSMC, row_inference.jl:143-145) replaces
+draws with the retained row's stored codes, falling back to the dummy code /
+fresh-row branch like proposal_compiler.jl:98-101,225-232; a retained
+reference to a garbage-collected row re-births it in its old slot.
+
+Known simplification vs the reference: if a *non-enumerable* choice is
+unobserved, descendants that are observed score against the observation
+placeholder instead of a fresh prior draw of the parent (the reference
+samples the parent first, block_proposal.jl:56-60). No bundled workload has
+an observed descendant of an unobserved non-enumerable node.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..domains import FLOAT
+from ..model.ir import (ChoiceNode, ClassID, ComputeNode,
+                        ExternalLikelihoodNode, ForeignKeyNode, Node,
+                        ParameterNode, ParamLookupNode, Plan, Step,
+                        SubmodelNode, VertexID, strip_subnodes)
+from ..utils import NEG_INF, logsumexp
+from .compile import CompiledModel
+
+NINF = float(NEG_INF)
+
+
+@dataclass
+class Birth:
+    fk_vid: VertexID  # vertex (in the proposing class) whose fk birthed
+    target_class: ClassID
+    is_new: Any  # traced bool
+    slot: Any  # traced int: allocated (or re-used retained) slot
+    values: dict[VertexID, Any]  # target-class vertex -> traced value
+
+
+@dataclass
+class BlockResult:
+    env: dict[VertexID, Any]
+    weight: Any
+    births: list[Birth]
+
+
+class _Ctx:
+    """Argument resolution adapter handed to DistKernels."""
+
+    def __init__(self, tracer, depth, resolver=None):
+        self.t = tracer
+        self.depth = depth
+        self.resolver = resolver
+
+    def value(self, vid: VertexID):
+        if self.resolver is not None:
+            return self.resolver(vid)
+        return self.t.aligned(vid, self.depth)
+
+    def pstate(self, cid: ClassID, vid: VertexID):
+        return self.t.params[cid][vid]
+
+
+class _SampleCtx:
+    """Ctx over a concrete env (post-sampling scalar values)."""
+
+    def __init__(self, tracer, env2):
+        self.t = tracer
+        self.env2 = env2
+
+    def value(self, vid: VertexID):
+        return self.env2[vid]
+
+    def pstate(self, cid: ClassID, vid: VertexID):
+        return self.t.params[cid][vid]
+
+
+class BlockTracer:
+    def __init__(self, cm: CompiledModel, cid: ClassID, arenas: dict,
+                 rel: dict, params: dict, obs_arrays: dict, obs_row: dict,
+                 env0: dict, row_slot, force_retained: bool = False):
+        self.cm = cm
+        self.cid = cid
+        self.arenas = arenas
+        self.rel = rel
+        self.params = params
+        self.obs_arrays = obs_arrays  # {cid: {vid: (codes [N], state [N])}}
+        self.obs_row = obs_row  # vid -> (value, state) scalars for this row
+        self.env: dict[VertexID, tuple[int, Any]] = {
+            v: (0, val) for v, val in env0.items()}
+        self.env0 = env0
+        self.axes: list[int] = []
+        self.records: dict[tuple, Any] = {}
+        self.row_slot = row_slot
+        self.force_retained = force_retained
+
+    # ---------------------------------------------------------------- utils
+
+    def aligned(self, vid: VertexID, depth: int):
+        d, val = self.env[vid]
+        if not hasattr(val, "ndim") or val.ndim == 0 or d >= depth:
+            return val
+        return val.reshape(val.shape + (1,) * (depth - d))
+
+    def node(self, vid: VertexID) -> Node:
+        return self.cm.node(self.cid, vid)
+
+    def kernel(self, cid: ClassID, vid: VertexID):
+        return self.cm.kernels[self.cm.canon(cid, vid)]
+
+    def obs_of(self, vid: VertexID):
+        return self.obs_row.get(vid, (None, None))
+
+    def row_value(self, cls: ClassID, vid: VertexID, slot):
+        return row_value(self.cm, self.arenas, self.params, cls, vid, slot)
+
+    def compute_value(self, vid: VertexID, node, value_of):
+        """Value of a Compute/ParamLookup node given arg resolver."""
+        if isinstance(node, ParamLookupNode):
+            ck, pk = self.cm.canon(self.cid, node.param_id)
+            st = self.params[ck][pk]
+            val = st["value"][value_of(node.key_id)]
+            if node.gate_id is not None:
+                gate = value_of(node.gate_id)
+                val = jnp.where(jnp.asarray(gate).astype(bool),
+                                node.gate_value, val)
+            return val
+        assert isinstance(node, ComputeNode)
+        if node.kind == "jax":
+            return node.fn(*[value_of(a) for a in node.arg_ids])
+        tbl = jnp.asarray(self.cm.tables[self.cm.canon(self.cid, vid)])
+        args = tuple(value_of(a) for a in node.arg_ids)
+        return tbl[args] if len(args) != 1 else tbl[args[0]]
+
+    def py_logprobs(self, tc: ClassID):
+        """Pitman-Yor prior over candidate slots + fresh row
+        (trace.jl:53-61, block_proposal.jl:86-96)."""
+        c = self.cm.cls(tc)
+        r = self.rel[tc]
+        py = self.params.get("__py__", {}).get(tc)
+        if py is not None:
+            s, d = py["strength"], py["discount"]
+        else:
+            s, d = c.py_strength, c.py_discount
+        total = r["total"].astype(jnp.float32)
+        logden = jnp.log(total + s)
+        cnt = r["refcount"].astype(jnp.float32)
+        live = r["alive"] & (r["refcount"] > 0)
+        existing = jnp.where(live, jnp.log(jnp.maximum(cnt - d, 1e-30)) - logden,
+                             NINF)
+        new = jnp.log(d * r["nrows"].astype(jnp.float32) + s) - logden
+        return existing, new
+
+    def _shape(self, depth: int) -> tuple:
+        return tuple(self.axes[:depth])
+
+    def _bcast(self, val, depth: int):
+        return jnp.broadcast_to(jnp.asarray(val, dtype=jnp.float32),
+                                self._shape(depth))
+
+    # ------------------------------------------------------------- scoring
+
+    def score_plan(self, plan: Plan, depth: int, mode: dict, ctx_key: tuple):
+        total = jnp.zeros(self._shape(depth), dtype=jnp.float32)
+        for step in plan.steps:
+            total = total + self.score_step(step, depth, mode, ctx_key)
+        return total
+
+    def score_step(self, step: Step, depth: int, mode: dict, ctx_key: tuple):
+        vid = step.idx
+        node = self.node(vid)
+        if isinstance(node, ParameterNode):
+            return self.score_plan(step.rest, depth, mode, ctx_key)
+        if isinstance(node, ExternalLikelihoodNode):
+            return self.score_external(step, depth, mode, ctx_key)
+        if isinstance(node, (ComputeNode, ParamLookupNode)):
+            self.env[vid] = (depth, self.compute_value(
+                vid, node, lambda a: self.aligned(a, depth)))
+            return self.score_plan(step.rest, depth, mode, ctx_key)
+        if isinstance(node, ForeignKeyNode):
+            return self.score_fk(step, vid, node, depth, mode, ctx_key)
+        if isinstance(node, SubmodelNode):
+            fmode = mode.get(node.fk_id)
+            assert fmode in ("E", "N"), "submodel step outside its fk context"
+            if fmode == "N":
+                sub = node.subnode
+                if isinstance(sub, ForeignKeyNode):
+                    return self.score_fk(step, vid, sub, depth, mode, ctx_key)
+                if isinstance(sub, (ComputeNode, ParamLookupNode)):
+                    self.env[vid] = (depth, self.compute_value(
+                        vid, sub, lambda a: self.aligned(a, depth)))
+                    return self.score_plan(step.rest, depth, mode, ctx_key)
+                assert isinstance(sub, ChoiceNode)
+                return self.score_choice(step, vid, sub, depth, mode, ctx_key)
+            # copy mode (case 3, proposal_compiler.jl:295-299): gather from
+            # the candidate target row(s); observed -> equality constraint
+            # (case 2, proposal_compiler.jl:277-293)
+            fknode = _fk(self.cm, self.cid, node.fk_id)
+            slot = self.aligned(node.fk_id, depth)
+            val = self.row_value(fknode.target_class, node.sub_id, slot)
+            self.env[vid] = (depth, val)
+            term = jnp.zeros(self._shape(depth), dtype=jnp.float32)
+            ov, st = self.obs_of(vid)
+            if ov is not None:
+                dom = self.cm.domain(self.cid, vid)
+                if dom is not None and dom.kind == FLOAT:
+                    eq = jnp.abs(val - ov) <= 1e-6 * jnp.maximum(1.0, jnp.abs(ov))
+                else:
+                    eq = val == ov
+                term = jnp.where(st == 1, jnp.where(eq, 0.0, NINF), 0.0)
+            return term + self.score_plan(step.rest, depth, mode, ctx_key)
+        assert isinstance(node, ChoiceNode)
+        return self.score_choice(step, vid, node, depth, mode, ctx_key)
+
+    def score_choice(self, step: Step, vid: VertexID, node: ChoiceNode,
+                     depth: int, mode: dict, ctx_key: tuple):
+        kern = self.kernel(self.cid, vid)
+        ctx = _Ctx(self, depth)
+        ov, st = self.obs_of(vid)
+        if not kern.enumerable:
+            # Observed here; sampled post-hoc from the prior when unobserved
+            # (block_proposal.jl:38-66 — proposal equals prior, so q cancels
+            # p and contributes nothing to the weight).
+            if ov is not None:
+                term = jnp.where(
+                    st == 1,
+                    self._bcast(kern.obs_logdensity(ctx, ov), depth),
+                    jnp.where(st == 2,
+                              self._bcast(kern.missing_logdensity(ctx), depth),
+                              0.0))
+                self.env[vid] = (0, ov)
+            else:
+                term = jnp.zeros(self._shape(depth), dtype=jnp.float32)
+            return term + self.score_plan(step.rest, depth, mode, ctx_key)
+        V = kern.V
+        enum = jnp.broadcast_to(jnp.asarray(kern.enum_logits(ctx),
+                                            dtype=jnp.float32),
+                                self._shape(depth) + (V,))
+        if ov is not None:
+            obs_ld = self._bcast(kern.obs_logdensity(ctx, ov), depth)
+            delta = jnp.where(jnp.arange(V) == ov, obs_ld[..., None], NINF)
+            logits = jnp.where(st == 1, delta, enum)
+        else:
+            logits = enum
+        self.axes.append(V)
+        self.env[vid] = (depth + 1, jnp.arange(V))
+        children = self.score_plan(step.rest, depth + 1, mode, ctx_key)
+        self.axes.pop()
+        total = logits + children
+        self.records[(vid, ctx_key)] = total
+        return logsumexp(total, axis=-1)
+
+    def score_fk(self, step: Step, vid: VertexID, fknode: ForeignKeyNode,
+                 depth: int, mode: dict, ctx_key: tuple):
+        tc = fknode.target_class
+        K = self.cm.layouts[tc].capacity
+        py_exist, py_new = self.py_logprobs(tc)
+
+        self.axes.append(K)
+        self.env[vid] = (depth + 1, jnp.arange(K))
+        ch_e = self.score_plan(step.rest, depth + 1, {**mode, vid: "E"},
+                               ctx_key + ((vid, "E"),))
+        self.axes.pop()
+        exist = py_exist + ch_e  # [.., K]
+
+        self.env[vid] = (depth, jnp.zeros((), jnp.int32))  # unused in N mode
+        ch_n = self.score_plan(step.rest, depth, {**mode, vid: "N"},
+                               ctx_key + ((vid, "N"),))
+        new = py_new + ch_n
+
+        logits = jnp.concatenate(
+            [jnp.broadcast_to(exist, self._shape(depth) + (K,)),
+             self._bcast(new, depth)[..., None]], axis=-1)
+        self.records[(vid, ctx_key)] = logits
+        del self.env[vid]
+        return logsumexp(logits, axis=-1)
+
+    # -------------------------------------------------- external likelihoods
+
+    def score_external(self, step: Step, depth: int, mode: dict,
+                       ctx_key: tuple):
+        node: ExternalLikelihoodNode = self.node(step.idx)
+        path = node.path
+        src = path[-1][0]
+        Cs = self.cm.layouts[src].capacity
+        # Referrer mask: chase the fk columns down the path
+        # (collect_referring_rows, row_inference.jl:23-47, vectorized).
+        t = None
+        for (hop_cid, hop_fk) in reversed(path):
+            col = self.arenas[hop_cid]["values"][hop_fk]
+            t = col if t is None else col[t]
+        mask = self.rel[src]["alive"] & (t == self.row_slot)
+
+        vmap = self.cm.cls(self.cid).incoming_references[path]
+        inv = {sv: tv for tv, sv in vmap.items()}
+        cache: dict[VertexID, Any] = {}
+        slots = jnp.arange(Cs)
+
+        def ext_value(svid: VertexID):
+            """Value of a source-class vertex over the referrer axis, with
+            this class's in-flight proposal overlaid on vmapped vertices
+            (proposal_row_state.jl's overlay)."""
+            if svid in cache:
+                return cache[svid]
+            if svid in inv and inv[svid] in self.env:
+                v = self.aligned(inv[svid], depth)
+                if hasattr(v, "ndim") and v.ndim > 0:
+                    v = v[..., None]  # broadcast over the Cs axis
+                cache[svid] = v
+                return v
+            snode = self.cm.node(src, svid)
+            if isinstance(snode, (ComputeNode, ParamLookupNode)):
+                if isinstance(snode, ParamLookupNode):
+                    ck, pk = self.cm.canon(src, snode.param_id)
+                    st = self.params[ck][pk]
+                    v = st["value"][ext_value(snode.key_id)]
+                    if snode.gate_id is not None:
+                        v = jnp.where(
+                            jnp.asarray(ext_value(snode.gate_id)).astype(bool),
+                            snode.gate_value, v)
+                elif snode.kind == "jax":
+                    v = snode.fn(*[ext_value(a) for a in snode.arg_ids])
+                else:
+                    tbl = jnp.asarray(self.cm.tables[self.cm.canon(src, svid)])
+                    args = tuple(ext_value(a) for a in snode.arg_ids)
+                    v = tbl[args] if len(args) != 1 else tbl[args[0]]
+            else:
+                v = self.row_value(src, svid, slots)
+            cache[svid] = v
+            return v
+
+        terms = self._ext_terms(step, src, ext_value, cache, depth)
+        masked = jnp.where(mask, terms, 0.0)
+        return jnp.sum(masked, axis=-1)
+
+    def _ext_terms(self, step: Step, src: ClassID, ext_value, cache,
+                   depth: int):
+        node: ExternalLikelihoodNode = self.node(step.idx)
+        ext = node.ext_node
+        Cs = self.cm.layouts[src].capacity
+        total = jnp.zeros(self._shape(depth) + (Cs,), dtype=jnp.float32)
+        if isinstance(ext, (ComputeNode, ParamLookupNode)):
+            # recompute with overlay; deeper externals read it via the cache
+            cache[node.ext_id] = None
+            cache.pop(node.ext_id)
+            v = None
+            if isinstance(ext, ParamLookupNode):
+                ck, pk = self.cm.canon(src, ext.param_id)
+                st = self.params[ck][pk]
+                v = st["value"][ext_value(ext.key_id)]
+                if ext.gate_id is not None:
+                    v = jnp.where(
+                        jnp.asarray(ext_value(ext.gate_id)).astype(bool),
+                        ext.gate_value, v)
+            elif ext.kind == "jax":
+                v = ext.fn(*[ext_value(a) for a in ext.arg_ids])
+            else:
+                tbl = jnp.asarray(self.cm.tables[self.cm.canon(src, node.ext_id)])
+                args = tuple(ext_value(a) for a in ext.arg_ids)
+                v = tbl[args] if len(args) != 1 else tbl[args[0]]
+            cache[node.ext_id] = v
+        elif isinstance(ext, ChoiceNode):
+            kern = self.cm.kernels[self.cm.canon(src, node.ext_id)]
+            ctx = _Ctx(self, depth, resolver=ext_value)
+            ov, st = self._ext_obs(src, node.ext_id)
+            if st is None:
+                total = total + kern.obs_logdensity(ctx, ov)
+            else:
+                obs_t = kern.obs_logdensity(ctx, ov)
+                miss_t = kern.missing_logdensity(ctx) + jnp.zeros_like(obs_t)
+                total = total + jnp.where(st == 1, obs_t,
+                                          jnp.where(st == 2, miss_t, 0.0))
+        elif isinstance(ext, ForeignKeyNode):
+            raise NotImplementedError(
+                "external foreign-key likelihoods (DPMem-style) unsupported, "
+                "as in the reference (proposal_compiler.jl:344-345)")
+        for child in step.rest.steps:
+            cn = self.node(child.idx)
+            assert isinstance(cn, ExternalLikelihoodNode)
+            total = total + self._ext_terms(child, src, ext_value, cache, depth)
+        return total
+
+    def _ext_obs(self, src: ClassID, svid: VertexID):
+        """Observed (value, state) arrays of a source-class vertex over its
+        capacity, falling back to stored/derived row values (the reference
+        scores active_parent_trace[ext_id], block_proposal.jl:139-152)."""
+        slots = jnp.arange(self.cm.layouts[src].capacity)
+        oa = self.obs_arrays.get(src, {}).get(svid)
+        if oa is not None:
+            codes, state = oa
+            stored = self.row_value(src, svid, slots)
+            val = jnp.where(state == 1, codes, stored)
+            return val, state
+        return self.row_value(src, svid, slots), None
+
+    # ------------------------------------------------------------- sampling
+
+    def sample(self, key) -> BlockResult:
+        """Top-down pass: draw (or force) concrete values for every vertex in
+        the block; returns env updates, extra weight from deferred nodes, and
+        birth records for fresh rows."""
+        self._keys = _KeyStream(key)
+        env2 = dict(self.env0)
+        births: list[Birth] = []
+        extra_w = jnp.zeros((), jnp.float32)
+        # working copies for fresh-slot allocation
+        alive2 = {c: self.rel[c]["alive"] for c in self.cm.model.class_order}
+
+        state = _SampleState(env2, births, alive2, extra_w)
+        for step in self._root_plan.steps:
+            self.sample_step(step, state, anc=(), mode={}, ctx_key=())
+        return BlockResult(env2, state.extra_w, births)
+
+    # births created inside a fresh-row branch only materialize if every
+    # enclosing fk actually chose "new" — st.gate tracks that conjunction
+
+    def run(self, plan: Plan, key) -> tuple[Any, BlockResult]:
+        """Score then sample one block; returns (logZ, result)."""
+        self._root_plan = plan
+        logZ = self.score_plan(plan, 0, {}, ())
+        res = self.sample(key)
+        return logZ, res
+
+    def _forced(self, vid: VertexID):
+        """Retained value of a vertex: the stored row value, via fk chains
+        (works even when a referenced row was garbage-collected — stale slot
+        values are still readable, which is how the reference's retained
+        re-birth keys behave, proposal_compiler.jl:225-232)."""
+        return self.row_value(self.cid, vid, self.row_slot)
+
+    def sample_step(self, step: Step, st: "_SampleState", anc: tuple,
+                    mode: dict, ctx_key: tuple):
+        vid = step.idx
+        node = self.node(vid)
+        if isinstance(node, (ParameterNode, ExternalLikelihoodNode)):
+            return
+        if isinstance(node, (ComputeNode, ParamLookupNode)):
+            st.env2[vid] = self.compute_value(vid, node,
+                                              lambda a: st.env2[a])
+            for ch in step.rest.steps:
+                self.sample_step(ch, st, anc, mode, ctx_key)
+            return
+        if isinstance(node, ForeignKeyNode):
+            return self.sample_fk(step, vid, node, st, anc, mode, ctx_key)
+        if isinstance(node, SubmodelNode):
+            fmode = mode.get(node.fk_id)
+            if fmode == "N":
+                sub = node.subnode
+                if isinstance(sub, ForeignKeyNode):
+                    return self.sample_fk(step, vid, sub, st, anc, mode, ctx_key)
+                if isinstance(sub, (ComputeNode, ParamLookupNode)):
+                    st.env2[vid] = self.compute_value(vid, sub,
+                                                      lambda a: st.env2[a])
+                    for ch in step.rest.steps:
+                        self.sample_step(ch, st, anc, mode, ctx_key)
+                    return
+                assert isinstance(sub, ChoiceNode)
+                return self.sample_choice(step, vid, sub, st, anc, mode, ctx_key)
+            # copy mode
+            fknode = _fk(self.cm, self.cid, node.fk_id)
+            st.env2[vid] = self.row_value(fknode.target_class, node.sub_id,
+                                          st.env2[node.fk_id])
+            for ch in step.rest.steps:
+                self.sample_step(ch, st, anc, mode, ctx_key)
+            return
+        assert isinstance(node, ChoiceNode)
+        return self.sample_choice(step, vid, node, st, anc, mode, ctx_key)
+
+    def sample_choice(self, step: Step, vid: VertexID, node: ChoiceNode,
+                      st: "_SampleState", anc: tuple, mode: dict,
+                      ctx_key: tuple):
+        kern = self.kernel(self.cid, vid)
+        ov, state_flag = self.obs_of(vid)
+        if not kern.enumerable:
+            ctx = _SampleCtx(self, st.env2)
+            drawn = kern.sample_prior(ctx, self._keys())
+            if self.force_retained:
+                drawn = self._forced(vid)
+            if ov is not None:
+                val = jnp.where(state_flag == 1, ov, drawn)
+            else:
+                val = drawn
+            st.env2[vid] = val
+            for ch in step.rest.steps:
+                self.sample_step(ch, st, anc, mode, ctx_key)
+            return
+        rec = self.records[(vid, ctx_key)]
+        logits = rec[anc] if anc else rec  # [V]
+        if self.force_retained:
+            rv = jnp.asarray(self._forced(vid), dtype=jnp.int32)
+            dummy = self.cm.dummy_code.get(self.cm.canon(self.cid, vid))
+            if dummy is None:
+                chosen = rv
+            else:
+                # retained value outside the enumerated support -> dummy
+                # branch (proposal_compiler.jl:98-101)
+                valid = logits[rv] > NINF / 2
+                chosen = jnp.where(valid, rv, jnp.asarray(dummy, jnp.int32))
+        else:
+            chosen = jax.random.categorical(self._keys(), logits)
+        st.env2[vid] = chosen.astype(jnp.int32)
+        for ch in step.rest.steps:
+            self.sample_step(ch, st, anc + (chosen,), mode, ctx_key)
+        return
+
+    def sample_fk(self, step: Step, vid: VertexID, fknode: ForeignKeyNode,
+                  st: "_SampleState", anc: tuple, mode: dict, ctx_key: tuple):
+        tc = fknode.target_class
+        K = self.cm.layouts[tc].capacity
+        rec = self.records[(vid, ctx_key)]
+        logits = rec[anc] if anc else rec  # [K+1]
+        retained_dead = jnp.asarray(False)
+        if self.force_retained:
+            rv = jnp.asarray(self._forced(vid), dtype=jnp.int32)
+            alive_rv = self.rel[tc]["alive"][rv] & (self.rel[tc]["refcount"][rv] > 0)
+            chosen = jnp.where(alive_rv, rv, jnp.asarray(K, jnp.int32))
+            retained_dead = ~alive_rv
+        else:
+            chosen = jax.random.categorical(self._keys(), logits).astype(jnp.int32)
+        is_new = chosen == K
+        effective_new = is_new & st.gate
+        c_exist = jnp.minimum(chosen, K - 1)
+
+        # fresh slot: first free (dead) slot of the working alive mask; a
+        # retained-dead fk re-births in its old slot
+        # (proposal_compiler.jl:225-232)
+        free = jnp.argmin(st.alive2[tc].astype(jnp.int32))
+        if self.force_retained:
+            rv = jnp.asarray(self._forced(vid), dtype=jnp.int32)
+            slot = jnp.where(retained_dead, rv, free)
+        else:
+            slot = free
+        st.alive2[tc] = st.alive2[tc].at[slot].set(
+            st.alive2[tc][slot] | effective_new)
+        final = jnp.where(is_new, slot, chosen).astype(jnp.int32)
+        st.env2[vid] = final
+
+        # Children: run both branches and select. Existing branch: descend
+        # in copy mode at the clamped candidate; new branch: descend the
+        # recorded 'N' posteriors.
+        env_keep = dict(st.env2)
+        st.env2[vid] = c_exist
+        for ch in step.rest.steps:
+            self.sample_step(ch, st, anc + (c_exist,), {**mode, vid: "E"},
+                             ctx_key + ((vid, "E"),))
+        exist_vals = {w: st.env2[w] for w in self._subtree_vids(step)
+                      if w in st.env2}
+        # reset and run new branch (nested births gated by this choice)
+        for w in self._subtree_vids(step):
+            if w in env_keep:
+                st.env2[w] = env_keep[w]
+            else:
+                st.env2.pop(w, None)
+        st.env2[vid] = final
+        outer_gate = st.gate
+        st.gate = st.gate & is_new
+        for ch in step.rest.steps:
+            self.sample_step(ch, st, anc, {**mode, vid: "N"},
+                             ctx_key + ((vid, "N"),))
+        st.gate = outer_gate
+        for w in self._subtree_vids(step):
+            if w in exist_vals and w in st.env2:
+                ev, nv = exist_vals[w], st.env2[w]
+                if hasattr(nv, "dtype") or hasattr(ev, "dtype"):
+                    st.env2[w] = jnp.where(is_new, nv, ev)
+        st.env2[vid] = final
+
+        # Birth record: the fresh row's values for every storable vertex of
+        # the target class, read via the (possibly submodel-shifted) vmap.
+        raw = self.node(vid)
+        vmap = raw.vmap if isinstance(raw, ForeignKeyNode) else \
+            strip_subnodes(raw).vmap
+        values = {}
+        for tv, dt in self.cm.layouts[tc].store.items():
+            sv = vmap.get(tv)
+            if sv is not None and sv in st.env2:
+                values[tv] = st.env2[sv]
+        st.births.append(Birth(vid, tc, effective_new, slot, values))
+        return
+
+    def _subtree_vids(self, step: Step) -> list[VertexID]:
+        out = []
+
+        def walk(p: Plan):
+            for s in p.steps:
+                out.append(s.idx)
+                walk(s.rest)
+
+        walk(step.rest)
+        return out
+
+
+class _SampleState:
+    def __init__(self, env2, births, alive2, extra_w):
+        self.env2 = env2
+        self.births = births
+        self.alive2 = alive2
+        self.extra_w = extra_w
+        self.gate = jnp.asarray(True)  # conjunction of enclosing is_new flags
+
+
+class _KeyStream:
+    def __init__(self, key):
+        self.key = key
+
+    def __call__(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+
+def row_value(cm: CompiledModel, arenas: dict, params: dict, cls: ClassID,
+              vid: VertexID, slot):
+    """Value of vertex `vid` of class `cls` at row(s) `slot` — gathers
+    through submodel fk chains, recomputes deterministic nodes (the
+    reference stores copies in RowTraces and pushes updates into referrers,
+    dependency_tracking.jl:239-258; we re-derive through the fk indirection
+    so referrers are never stale)."""
+    node = cm.node(cls, vid)
+    if isinstance(node, SubmodelNode):
+        fknode = cm.node(cls, node.fk_id)
+        assert isinstance(fknode, ForeignKeyNode), \
+            "row_value must start from a class whose fks are raw"
+        t = arenas[cls]["values"][node.fk_id][slot]
+        return row_value(cm, arenas, params, fknode.target_class, node.sub_id, t)
+    if isinstance(node, (ChoiceNode, ForeignKeyNode)):
+        return arenas[cls]["values"][vid][slot]
+    if isinstance(node, ComputeNode):
+        if node.kind == "jax":
+            return node.fn(*[row_value(cm, arenas, params, cls, a, slot)
+                             for a in node.arg_ids])
+        tbl = jnp.asarray(cm.tables[cm.canon(cls, vid)])
+        args = tuple(row_value(cm, arenas, params, cls, a, slot)
+                     for a in node.arg_ids)
+        return tbl[args] if len(args) != 1 else tbl[args[0]]
+    if isinstance(node, ParamLookupNode):
+        ck, pk = cm.canon(cls, node.param_id)
+        st = params[ck][pk]
+        val = st["value"][row_value(cm, arenas, params, cls, node.key_id, slot)]
+        if node.gate_id is not None:
+            gate = row_value(cm, arenas, params, cls, node.gate_id, slot)
+            val = jnp.where(jnp.asarray(gate).astype(bool),
+                            node.gate_value, val)
+        return val
+    raise TypeError(type(node))
+
+
+def _fk(cm: CompiledModel, cid: ClassID, vid: VertexID) -> ForeignKeyNode:
+    n = strip_subnodes(cm.node(cid, vid))
+    assert isinstance(n, ForeignKeyNode)
+    return n

@@ -202,17 +202,22 @@ class ModelBuilder:
         self._push_block_vertex(cid, v)
         return v
 
-    def add_param_lookup(self, cid: ClassID, name: str, param: str, key: str) -> VertexID:
+    def add_param_lookup(self, cid: ClassID, name: str, param: str, key: str,
+                         gate: Optional[str] = None,
+                         gate_value: float = 0.0) -> VertexID:
         c = self._class(cid)
         pid = c.names[param]
         assert isinstance(c.nodes[pid], ParameterNode) and c.nodes[pid].indexed, \
             f"{param} is not an indexed learned parameter"
         kid = self.resolve(cid, key)
+        gid = None if gate is None else self.resolve(cid, gate)
         v = c.graph.add_vertex()
         c.names[name] = v
         c.graph.add_edge(pid, v)
         c.graph.add_edge(kid, v)
-        c.nodes.append(ParamLookupNode(pid, kid))
+        if gid is not None:
+            c.graph.add_edge(gid, v)
+        c.nodes.append(ParamLookupNode(pid, kid, gid, gate_value))
         self._push_block_vertex(cid, v)
         return v
 
@@ -383,8 +388,12 @@ class ClassHandle:
         self._b.add_compute(self._cid, name, fn, args, kind="list")
         return Ref(name)
 
-    def param_lookup(self, name: str, param: str, key: str) -> Ref:
-        self._b.add_param_lookup(self._cid, name, param, key)
+    def param_lookup(self, name: str, param: str, key: str,
+                     gate: Optional[str] = None, gate_value: float = 0.0) -> Ref:
+        """value = param[key], or `gate_value` when the boolean `gate` vertex
+        is true (the reference's conditional-parameter ternary,
+        flights run.jl:28)."""
+        self._b.add_param_lookup(self._cid, name, param, key, gate, gate_value)
         return Ref(name)
 
     def guaranteed(self, name: str) -> None:

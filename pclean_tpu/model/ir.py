@@ -73,10 +73,19 @@ class ParameterNode(Node):
 
 @dataclass
 class ParamLookupNode(Node):
-    """value = parameter[key] for an indexed parameter; float output."""
+    """value = parameter[key] for an indexed parameter; float output.
+
+    gate_id/gate_value model the reference's conditional-parameter idiom
+    (flights run.jl:28: `error_prob = cond ? 1e-5 : error_probs[src.name]`):
+    when the boolean gate vertex is true the value is the constant
+    `gate_value` and the parameter is bypassed (no sufficient statistics
+    accrue, matching incorporate_choice! dispatch on the arg type).
+    """
 
     param_id: VertexID
     key_id: VertexID
+    gate_id: Optional[VertexID] = None
+    gate_value: float = 0.0
 
 
 @dataclass
@@ -157,7 +166,9 @@ def shift_node(node: Node, v: int) -> Node:
     if isinstance(node, ParameterNode):
         return node
     if isinstance(node, ParamLookupNode):
-        return ParamLookupNode(node.param_id + v, node.key_id + v)
+        return ParamLookupNode(node.param_id + v, node.key_id + v,
+                               None if node.gate_id is None else node.gate_id + v,
+                               node.gate_value)
     if isinstance(node, ForeignKeyNode):
         return ForeignKeyNode(node.target_class, {i: j + v for i, j in node.vmap.items()})
     if isinstance(node, SubmodelNode):
