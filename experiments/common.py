@@ -1,0 +1,48 @@
+"""Shared helpers for the bundled experiments (reference experiments/*)."""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DATA_DIR = os.environ.get("PCLEAN_DATA_DIR", "/root/reference/datasets")
+
+
+def dataset_paths(name: str) -> tuple[str, str]:
+    return (os.path.join(DATA_DIR, f"{name}_dirty.csv"),
+            os.path.join(DATA_DIR, f"{name}_clean.csv"))
+
+
+def std_argparser(desc: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=desc)
+    p.add_argument("--rows", type=int, default=None,
+                   help="truncate the dataset to N rows (smoke testing)")
+    p.add_argument("--sweeps", type=int, default=None,
+                   help="override number of rejuvenation sweeps")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save", action="store_true", help="export result CSVs")
+    p.add_argument("--json", action="store_true",
+                   help="print one JSON line with metrics")
+    return p
+
+
+def truncate(data: dict, n) -> dict:
+    if n is None:
+        return data
+    return {k: v[:n] for k, v in data.items()}
+
+
+def report(name: str, results: dict, elapsed: float, n_rows: int,
+           sweeps: int, as_json: bool) -> None:
+    rows_per_sec = n_rows * (1 + sweeps) / elapsed if elapsed > 0 else 0.0
+    line = dict(experiment=name, elapsed_sec=round(elapsed, 2),
+                rows=n_rows, sweeps=sweeps,
+                rows_cleaned_per_sec=round(rows_per_sec, 2), **results)
+    if as_json:
+        print(json.dumps(line))
+    else:
+        print(line)

@@ -212,6 +212,13 @@ class BlockTracer:
         if isinstance(node, SubmodelNode):
             fmode = mode.get(node.fk_id)
             assert fmode in ("E", "N"), "submodel step outside its fk context"
+            while fmode == "N" and isinstance(node.subnode, SubmodelNode):
+                # fresh-row branch of a deep slot chain: the generated row's
+                # own submodel copies re-dispatch on *their* fk's mode
+                node = node.subnode
+                fmode = mode.get(node.fk_id)
+                assert fmode in ("E", "N"), \
+                    "nested submodel step outside its fk context"
             if fmode == "N":
                 sub = node.subnode
                 if isinstance(sub, ForeignKeyNode):
@@ -474,6 +481,9 @@ class BlockTracer:
             return self.sample_fk(step, vid, node, st, anc, mode, ctx_key)
         if isinstance(node, SubmodelNode):
             fmode = mode.get(node.fk_id)
+            while fmode == "N" and isinstance(node.subnode, SubmodelNode):
+                node = node.subnode
+                fmode = mode.get(node.fk_id)
             if fmode == "N":
                 sub = node.subnode
                 if isinstance(sub, ForeignKeyNode):

@@ -245,11 +245,13 @@ class ModelBuilder:
                 for sm in n.vmap.values():
                     c.graph.add_edge(sm, v)
 
-        # Copy target nodes as SubmodelNodes.
+        # Copy target nodes as SubmodelNodes. Internal references shift by
+        # v+1: target vertex i lands at source vertex v+1+i (the reference's
+        # 1-based `i + v`, builder.jl:115-120,152-156).
         for i, node in enumerate(target_nodes):
             w = c.graph.add_vertex()
             assert w == vmap[i]
-            c.nodes.append(SubmodelNode(v, i, shift_node(node, v)))
+            c.nodes.append(SubmodelNode(v, i, shift_node(node, v + 1)))
             c.graph.add_edge(v, w)
 
         # Copy target edges (within the non-external prefix).
