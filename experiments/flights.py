@@ -1,0 +1,114 @@
+"""Flights benchmark: multi-source deduplication with per-source error rates.
+
+Port of the reference experiment (experiments/flights/run.jl): Flight keyed
+by @guaranteed flight_id with four TimePrior fields whose atom sets depend on
+the latent flight_id; Obs with an indexed learned ProbParameter per tracking
+website, a deterministic self-reporting trust rule, and MaybeSwap error
+model. Reference config: MH mode, 2 particles, 5 sweeps.
+"""
+from __future__ import annotations
+
+import time
+
+from common import dataset_paths, report, std_argparser, truncate
+
+import jax
+
+from pclean_tpu.analysis import evaluate_accuracy, save_results
+from pclean_tpu.dists import MaybeSwap, Prob, Ref, StringPrior, TimePrior
+from pclean_tpu.engine.compile import compile_model, init_state
+from pclean_tpu.engine.smc import Engine, InferenceConfig
+from pclean_tpu.io import read_csv, unique_values
+from pclean_tpu.model.builder import ModelBuilder
+from pclean_tpu.model.query import ObservedDataset, Query
+
+CAPACITIES = {"Flight": 160, "TrackingWebsite": 64}
+TIME_FIELDS = ["sched_dep_time", "sched_arr_time", "act_dep_time", "act_arr_time"]
+
+
+def build_model(websites, flight_ids, times_for_flight):
+    b = ModelBuilder()
+    with b.cls("TrackingWebsite") as c:
+        c.choice("name", StringPrior(2, 30, websites))
+    with b.cls("Flight") as c:
+        with c.block():
+            c.choice("flight_id", StringPrior(10, 20, flight_ids))
+            c.guaranteed("flight_id")
+        for field, short in zip(TIME_FIELDS, ["sdt", "sat", "adt", "aat"]):
+            c.compute_list(
+                f"{short}_atoms",
+                (lambda fl: (lambda fid: times_for_flight.get(f"{fid}-{fl}", [])))(field),
+                ["flight_id"])
+            c.choice(short, TimePrior(Ref(f"{short}_atoms")))
+    with b.cls("Obs") as c:
+        c.learned("error_probs", Prob(10.0, 50.0), indexed=True)
+        with c.block():
+            c.fk("flight", "Flight")
+        c.fk("src", "TrackingWebsite")
+        # reference run.jl:28: self-reporting websites are trusted
+        c.compute("self_report",
+                  lambda s, fid: s.lower() == fid[:2].lower(), ["src.name", "flight.flight_id"])
+        c.param_lookup("error_prob", "error_probs", key="src.name",
+                       gate="self_report", gate_value=1e-5)
+        with c.block():
+            for short in ["sdt", "sat", "adt", "aat"]:
+                c.choice(short, MaybeSwap(Ref(f"flight.{short}"),
+                                          Ref(f"flight.{short}_atoms"),
+                                          Ref("error_prob")))
+    return b.finish()
+
+
+QUERY_CLAUSES = [
+    ("sched_dep_time", "flight.sdt", "sdt"),
+    ("sched_arr_time", "flight.sat", "sat"),
+    ("act_dep_time", "flight.adt", "adt"),
+    ("act_arr_time", "flight.aat", "aat"),
+    ("flight", "flight.flight_id"),
+    ("src", "src.name"),
+]
+
+
+def load(rows=None):
+    dirty_path, clean_path = dataset_paths("flights")
+    dirty = truncate(read_csv(dirty_path), rows)
+    clean = truncate(read_csv(clean_path), rows)
+    return dirty, clean
+
+
+def main():
+    args = std_argparser(__doc__).parse_args()
+    dirty, clean = load(args.rows)
+    websites = unique_values(dirty["src"])
+    flight_ids = unique_values(dirty["flight"])
+    times_for_flight: dict[str, list] = {}
+    for i, fid in enumerate(dirty["flight"]):
+        for field in TIME_FIELDS:
+            v = dirty[field][i]
+            if v is not None:
+                times_for_flight.setdefault(f"{fid}-{field}", [])
+                if v not in times_for_flight[f"{fid}-{field}"]:
+                    times_for_flight[f"{fid}-{field}"].append(v)
+    model = build_model(websites, flight_ids, times_for_flight)
+    query = Query.build(model, "Obs", QUERY_CLAUSES)
+    ds = ObservedDataset(query, dirty)
+    sweeps = 5 if args.sweeps is None else args.sweeps
+    config = InferenceConfig(num_iters=sweeps, use_mh_instead_of_pg=True)
+
+    t0 = time.time()
+    cm = compile_model(model, [ds], capacities=CAPACITIES)
+    arenas, params = init_state(cm, jax.random.PRNGKey(args.seed))
+    eng = Engine(cm, config)
+    key = jax.random.PRNGKey(args.seed + 1)
+    arenas, params, key = eng.initialize(key, arenas, params, progress=500)
+    arenas, params, key = eng.run(key, arenas, params, progress=1000)
+    jax.block_until_ready(arenas["Obs"]["values"][list(arenas["Obs"]["values"])[0]])
+    elapsed = time.time() - t0
+
+    results = evaluate_accuracy(cm, arenas, params, dirty, clean, query)
+    if args.save:
+        save_results(cm, arenas, params, "results", "flights", [ds])
+    report("flights", results, elapsed, len(dirty["flight"]), sweeps, args.json)
+
+
+if __name__ == "__main__":
+    main()

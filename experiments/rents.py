@@ -1,0 +1,120 @@
+"""Rents benchmark: continuous + discrete latents with learned means.
+
+Port of the reference experiment (experiments/rents/run.jl): County keyed by
+a derived @guaranteed countykey with per-key name possibilities; Obs with an
+indexed learned MeanParameter per (state, county, room-type), a
+TransformedGaussian rent observation under a latent unit (dollars vs
+thousands), and AddTypos(max_typos=2) on county names. Reference config: MH
+mode, 2 particles, 1 sweep, rejuv_frequency=500.
+"""
+from __future__ import annotations
+
+import time
+
+from common import dataset_paths, report, std_argparser, truncate
+
+import jax
+import jax.numpy as jnp
+
+from pclean_tpu.analysis import evaluate_accuracy, save_results
+from pclean_tpu.dists import (AddTypos, ChooseProportionally, ChooseUniformly,
+                              Mean, ParamRef, Proportions, Ref, StringPrior,
+                              Transformation, TransformedGaussian, Unmodeled)
+from pclean_tpu.engine.compile import compile_model, init_state
+from pclean_tpu.engine.smc import Engine, InferenceConfig
+from pclean_tpu.io import read_csv, unique_values
+from pclean_tpu.model.builder import ModelBuilder
+from pclean_tpu.model.query import ObservedDataset, Query
+
+CAPACITIES = {"County": 1024}
+ROOM_TYPES = ["studio", "1br", "2br", "3br", "4br"]
+UNITS = [Transformation(lambda x: x, lambda x: x, lambda x: 1.0),
+         Transformation(lambda x: x / 1000.0, lambda x: x * 1000.0,
+                        lambda x: 1.0 / 1000.0)]
+
+
+def county_key(name: str) -> str:
+    """reference load_data.jl:9: first char + last char of the first word."""
+    return f"{name[0]}{name.split()[0][-1]}"
+
+
+def build_model(possibilities, states):
+    b = ModelBuilder()
+    with b.cls("County") as c:
+        c.learned("state_pops", Proportions())
+        c.choice("countykey", Unmodeled())
+        c.guaranteed("countykey")
+        c.compute_list("name_options",
+                       lambda k: possibilities.get(k, []), ["countykey"])
+        c.choice("name", StringPrior(10, 35, Ref("name_options")))
+        c.choice("state", ChooseProportionally(states, ParamRef("state_pops")))
+    with b.cls("Obs") as c:
+        c.learned("avg_rent", Mean(1500.0, 1000.0), indexed=True)
+        c.fk("county", "County")
+        c.choice("county_name", AddTypos(Ref("county.name"), 2))
+        c.choice("br", ChooseUniformly(ROOM_TYPES))
+        c.choice("unit", ChooseUniformly(UNITS))
+        c.compute("rent_key", lambda s, k, br: f"{s}_{k}_{br}",
+                  ["county.state", "county.countykey", "br"])
+        c.param_lookup("rent_base", "avg_rent", key="rent_key")
+        c.choice("rent", TransformedGaussian(Ref("rent_base"), 150.0,
+                                             Ref("unit")))
+        # corrected = round(unit.backward(rent)) (run.jl:26)
+        c.compute_jax("corrected",
+                      lambda u, r: jnp.round(jnp.where(u == 0, r, r * 1000.0)),
+                      ["unit", "rent"])
+    return b.finish()
+
+
+QUERY_CLAUSES = [
+    ("CountyKey", "county.countykey"),
+    ("County", "county.name", "county_name"),
+    ("State", "county.state"),
+    ("Room Type", "br"),
+    ("Monthly Rent", "corrected", "rent"),
+]
+
+
+def load(rows=None):
+    dirty_path, clean_path = dataset_paths("rents")
+    dirty = truncate(read_csv(dirty_path), rows)
+    clean = truncate(read_csv(clean_path), rows)
+    dirty["CountyKey"] = [county_key(x) for x in dirty["County"]]
+    return dirty, clean
+
+
+def main():
+    args = std_argparser(__doc__).parse_args()
+    dirty, clean = load(args.rows)
+    possibilities: dict[str, list] = {}
+    for name in dirty["County"]:
+        k = county_key(name)
+        possibilities.setdefault(k, [])
+        if name not in possibilities[k]:
+            possibilities[k].append(name)
+    states = unique_values(dirty["State"])
+    model = build_model(possibilities, states)
+    query = Query.build(model, "Obs", QUERY_CLAUSES)
+    ds = ObservedDataset(query, dirty)
+    sweeps = 1 if args.sweeps is None else args.sweeps
+    config = InferenceConfig(num_iters=sweeps, use_mh_instead_of_pg=True,
+                             rejuv_frequency=500)
+
+    t0 = time.time()
+    cm = compile_model(model, [ds], capacities=CAPACITIES)
+    arenas, params = init_state(cm, jax.random.PRNGKey(args.seed))
+    eng = Engine(cm, config)
+    key = jax.random.PRNGKey(args.seed + 1)
+    arenas, params, key = eng.initialize(key, arenas, params, progress=1000)
+    arenas, params, key = eng.run(key, arenas, params, progress=2000)
+    jax.block_until_ready(arenas["Obs"]["values"][list(arenas["Obs"]["values"])[0]])
+    elapsed = time.time() - t0
+
+    results = evaluate_accuracy(cm, arenas, params, dirty, clean, query)
+    if args.save:
+        save_results(cm, arenas, params, "results", "rents", [ds])
+    report("rents", results, elapsed, len(dirty["County"]), sweeps, args.json)
+
+
+if __name__ == "__main__":
+    main()

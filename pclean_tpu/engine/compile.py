@@ -106,6 +106,24 @@ class CompiledModel:
     def domain(self, cid: ClassID, vid: VertexID) -> Domain:
         return self.domains[self.canon(cid, vid)]
 
+    def truth_table(self, cid: ClassID, vid: VertexID):
+        """bool [V] mapping a categorical vertex's *codes* to Python
+        truthiness of the underlying values — gate codes are vocab indices,
+        not booleans, so ParamLookup gates must decode through this."""
+        import jax.numpy as jnp
+
+        key = self.canon(cid, vid)
+        cached = self.consts.get(("truth", key))
+        if cached is None:
+            dom = self.domains[key]
+            assert dom is not None and dom.kind == CATEGORICAL
+            cached = np.array([bool(v) and v != INVALID
+                               for v in dom.vocab.values], dtype=bool)
+            self.consts[("truth", key)] = cached
+        # cache host-side; wrap per call so each jit trace gets its own
+        # constant (a traced constant must not escape its trace)
+        return jnp.asarray(cached)
+
 
 def compile_model(model: Model, datasets: Sequence[ObservedDataset],
                   capacities: Optional[dict[ClassID, int]] = None,

@@ -93,7 +93,8 @@ def recompute_and_resample(cm: CompiledModel, cid: ClassID, vid: VertexID,
                 slots = jnp.arange(lay.capacity)
                 keyv = tr.row_value(cid, pl.key_id, slots)
                 if pl.gate_id is not None:
-                    gate = tr.row_value(cid, pl.gate_id, slots).astype(bool)
+                    truth = cm.truth_table(cid, pl.gate_id)
+                    gate = truth[tr.row_value(cid, pl.gate_id, slots)]
             if keyv is None:
                 continue
             slots = jnp.arange(lay.capacity)

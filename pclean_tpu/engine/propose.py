@@ -152,8 +152,8 @@ class BlockTracer:
             val = st["value"][value_of(node.key_id)]
             if node.gate_id is not None:
                 gate = value_of(node.gate_id)
-                val = jnp.where(jnp.asarray(gate).astype(bool),
-                                node.gate_value, val)
+                truth = self.cm.truth_table(self.cid, node.gate_id)
+                val = jnp.where(truth[gate], node.gate_value, val)
             return val
         assert isinstance(node, ComputeNode)
         if node.kind == "jax":
@@ -352,9 +352,9 @@ class BlockTracer:
                     st = self.params[ck][pk]
                     v = st["value"][ext_value(snode.key_id)]
                     if snode.gate_id is not None:
-                        v = jnp.where(
-                            jnp.asarray(ext_value(snode.gate_id)).astype(bool),
-                            snode.gate_value, v)
+                        truth = self.cm.truth_table(src, snode.gate_id)
+                        v = jnp.where(truth[ext_value(snode.gate_id)],
+                                      snode.gate_value, v)
                 elif snode.kind == "jax":
                     v = snode.fn(*[ext_value(a) for a in snode.arg_ids])
                 else:
@@ -386,9 +386,9 @@ class BlockTracer:
                 st = self.params[ck][pk]
                 v = st["value"][ext_value(ext.key_id)]
                 if ext.gate_id is not None:
-                    v = jnp.where(
-                        jnp.asarray(ext_value(ext.gate_id)).astype(bool),
-                        ext.gate_value, v)
+                    truth = self.cm.truth_table(src, ext.gate_id)
+                    v = jnp.where(truth[ext_value(ext.gate_id)],
+                                  ext.gate_value, v)
             elif ext.kind == "jax":
                 v = ext.fn(*[ext_value(a) for a in ext.arg_ids])
             else:
@@ -678,8 +678,8 @@ def row_value(cm: CompiledModel, arenas: dict, params: dict, cls: ClassID,
         val = st["value"][row_value(cm, arenas, params, cls, node.key_id, slot)]
         if node.gate_id is not None:
             gate = row_value(cm, arenas, params, cls, node.gate_id, slot)
-            val = jnp.where(jnp.asarray(gate).astype(bool),
-                            node.gate_value, val)
+            truth = cm.truth_table(cls, node.gate_id)
+            val = jnp.where(truth[gate], node.gate_value, val)
         return val
     raise TypeError(type(node))
 

@@ -214,16 +214,26 @@ class Engine:
         cfg = self.config
         for cid in self.cm.model.class_order:
             step = self.rejuv_step(cid)
-            cap = self.cm.layouts[cid].capacity
-            for i in range(cap):
+            lay = self.cm.layouts[cid]
+            if lay.observed:
+                slots = list(range(lay.capacity))
+            else:
+                # visit only live slots (reference iterates keys(table.rows),
+                # inference.jl:66); snapshot at sweep start — rows born
+                # mid-sweep are picked up next sweep, rows dying mid-sweep
+                # no-op through the accept mask
+                rel = refresh(self.cm, arenas, self.obs_dev)
+                alive = np.asarray(rel[cid]["alive"])
+                slots = [int(s) for s in np.flatnonzero(alive)]
+            for i, s in enumerate(slots):
                 key, sub = jax.random.split(key)
-                arenas = step(arenas, params, jnp.asarray(i), sub)
+                arenas = step(arenas, params, jnp.asarray(s), sub)
                 if (i + 1) % cfg.rejuv_frequency == 0:
                     key, sub = jax.random.split(key)
                     arenas, params = resample_all(self.cm, arenas, params,
                                                   self.obs_dev, sub)
                 if progress and (i + 1) % progress == 0:
-                    print(f"{cid}: cleaning row {i + 1} of {cap}")
+                    print(f"{cid}: cleaning row {i + 1} of {len(slots)}")
         return arenas, params, key
 
     def run(self, key, arenas, params, progress: Optional[int] = None):
