@@ -27,6 +27,8 @@ def std_argparser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--save", action="store_true", help="export result CSVs")
     p.add_argument("--json", action="store_true",
                    help="print one JSON line with metrics")
+    p.add_argument("--batch", type=int, default=1,
+                   help="rows per device dispatch (blocked-Gibbs batching)")
     return p
 
 

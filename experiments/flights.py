@@ -92,7 +92,8 @@ def main():
     query = Query.build(model, "Obs", QUERY_CLAUSES)
     ds = ObservedDataset(query, dirty)
     sweeps = 5 if args.sweeps is None else args.sweeps
-    config = InferenceConfig(num_iters=sweeps, use_mh_instead_of_pg=True)
+    config = InferenceConfig(num_iters=sweeps, use_mh_instead_of_pg=True,
+                             batch_rows=args.batch)
 
     t0 = time.time()
     cm = compile_model(model, [ds], capacities=CAPACITIES)

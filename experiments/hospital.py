@@ -122,7 +122,8 @@ def main():
     query = Query.build(model, "Record", QUERY_CLAUSES)
     ds = ObservedDataset(query, dirty)
     sweeps = 1 if args.sweeps is None else args.sweeps
-    config = InferenceConfig(num_iters=sweeps, use_mh_instead_of_pg=True)
+    config = InferenceConfig(num_iters=sweeps, use_mh_instead_of_pg=True,
+                             batch_rows=args.batch)
 
     t0 = time.time()
     cm = compile_model(model, [ds], capacities=CAPACITIES)

@@ -98,7 +98,7 @@ def main():
     ds = ObservedDataset(query, dirty)
     sweeps = 1 if args.sweeps is None else args.sweeps
     config = InferenceConfig(num_iters=sweeps, use_mh_instead_of_pg=True,
-                             rejuv_frequency=500)
+                             rejuv_frequency=500, batch_rows=args.batch)
 
     t0 = time.time()
     cm = compile_model(model, [ds], capacities=CAPACITIES)

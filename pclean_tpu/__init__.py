@@ -8,6 +8,15 @@ over interned value vocabularies, and fit with SMC initialization plus
 particle-Gibbs/MH rejuvenation — batched, jitted, and shardable over device
 meshes instead of the reference's single-threaded per-row interpreter.
 """
+import os as _os
+
+# Persistent XLA compilation cache: proposal programs are traced per
+# (class, block) and reused across runs; must be set before jax initializes.
+if _os.environ.get("PCLEAN_JAX_CACHE", "1") != "0":
+    _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                           _os.path.expanduser("~/.cache/pclean_tpu_jax"))
+    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 from . import dists, io, utils
 from .dists import *  # noqa: F401,F403
 from .model.builder import ModelBuilder

@@ -131,11 +131,11 @@ class _ChooseProportionallyK(DistKernel):
                 cur = w[code]
                 w[code] = np.logaddexp(cur, math.log(probs[pos])) \
                     if np.isfinite(cur) else math.log(probs[pos])
-            self.static_logw = jnp.asarray(w)
+            self.static_logw = w  # host numpy; wrapped at trace time
 
     def _logw(self, ctx):
         if self.param_key is None:
-            return self.static_logw
+            return jnp.asarray(self.static_logw)
         logv = ctx.pstate(*self.param_key)["log_value"][0]  # [num_options]
         pad = self.V - logv.shape[0]
         if pad > 0:
@@ -166,29 +166,29 @@ class _ChooseUniformlyK(DistKernel):
         if self.dynamic:
             lk = cm.canon(cid, node.arg_ids["options"])
             reg = cm.list_reg[lk]
-            self.mask = jnp.asarray(reg.mask_matrix())  # [L, V]
-            self.lens = jnp.asarray(np.maximum(reg.lengths(), 1))
+            self.mask = reg.mask_matrix()  # [L, V]
+            self.lens = np.maximum(reg.lengths(), 1)
         else:
             options = node.dist.options
             m = np.zeros(self.V, dtype=bool)
             for o in options:
                 m[dom.vocab.encode(o)] = True
-            self.mask = jnp.asarray(m)
+            self.mask = m
             self.n = max(len(set(dom.vocab.encode(o) for o in options)), 1)
             self.n_raw = max(len(options), 1)
 
     def enum_logits(self, ctx):
         if self.dynamic:
             lc = ctx.value(self.node.arg_ids["options"])
-            m = self.mask[lc]  # [*, V]
-            n = self.lens[lc].astype(jnp.float32)
+            m = jnp.asarray(self.mask)[lc]  # [*, V]
+            n = jnp.asarray(self.lens)[lc].astype(jnp.float32)
             return jnp.where(m, -jnp.log(n)[..., None], NINF)
-        return jnp.where(self.mask, -math.log(self.n_raw), NINF)
+        return jnp.where(jnp.asarray(self.mask), -math.log(self.n_raw), NINF)
 
     def obs_logdensity(self, ctx, obs):
         if self.dynamic:
             lc = ctx.value(self.node.arg_ids["options"])
-            n = self.lens[lc].astype(jnp.float32)
+            n = jnp.asarray(self.lens)[lc].astype(jnp.float32)
             return -jnp.log(n) + 0.0 * obs
         return jnp.full(jnp.shape(obs), -math.log(self.n_raw))
 
@@ -207,7 +207,7 @@ class _AtomPriorK(DistKernel):
         self.V = dom.size
         self.node = node
         self.dummy_code = cm.dummy_code[(cid, vid)]
-        self.score_vec = jnp.asarray(score_vec.astype(np.float32))
+        self.score_vec = score_vec.astype(np.float32)
         self.dynamic = "atoms" in node.arg_ids
         if self.dynamic:
             lk = cm.canon(cid, node.arg_ids["atoms"])
@@ -218,14 +218,14 @@ class _AtomPriorK(DistKernel):
             for l in range(L):
                 enum[l, mask[l]] = score_vec[mask[l]]
                 enum[l, self.dummy_code] = residual_dummy_logit(enum[l])
-            self.enum_mat = jnp.asarray(enum.astype(np.float32))
+            self.enum_mat = enum.astype(np.float32)
         else:
             atoms = self._static_atoms()
             enum = np.full(self.V, -np.inf, dtype=np.float64)
             codes = [dom.vocab.encode(a) for a in atoms]
             enum[codes] = score_vec[codes]
             enum[self.dummy_code] = residual_dummy_logit(enum)
-            self.enum_vec = jnp.asarray(enum.astype(np.float32))
+            self.enum_vec = enum.astype(np.float32)
 
     def _static_atoms(self):
         raise NotImplementedError
@@ -233,11 +233,11 @@ class _AtomPriorK(DistKernel):
     def enum_logits(self, ctx):
         if self.dynamic:
             lc = ctx.value(self.node.arg_ids["atoms"])
-            return self.enum_mat[lc]
-        return self.enum_vec
+            return jnp.asarray(self.enum_mat)[lc]
+        return jnp.asarray(self.enum_vec)
 
     def obs_logdensity(self, ctx, obs):
-        return self.score_vec[obs]
+        return jnp.asarray(self.score_vec)[obs]
 
     def sample_prior(self, ctx, key):
         return jax.random.categorical(key, self.enum_logits(ctx))
@@ -267,7 +267,7 @@ class _TimePriorK(_AtomPriorK):
         super().__init__(cm, cid, vid, node, sv)
         # Reference logdensity is -log(1440) for *any* observed string
         # (time_prior.jl:25-27); keep the constant for observed scoring.
-        self.score_vec = jnp.full((self.V,), -math.log(1440.0), dtype=jnp.float32)
+        self.score_vec = np.full((self.V,), -math.log(1440.0), dtype=np.float32)
 
     def _static_atoms(self):
         return self._atoms_arg
@@ -284,12 +284,11 @@ class _AddTyposK(DistKernel):
         self.V = dom.size
         self.node = node
         strs = [v if isinstance(v, str) else str(v) for v in dom.vocab.values]
-        self.M = jnp.asarray(typos_logdensity_matrix(
-            strs, strs, node.dist.max_typos))
+        self.M = typos_logdensity_matrix(strs, strs, node.dist.max_typos)
 
     def obs_logdensity(self, ctx, obs):
         word = ctx.value(self.node.arg_ids["word"])
-        return self.M[obs, word]
+        return jnp.asarray(self.M)[obs, word]
 
     def missing_logdensity(self, ctx):
         return 0.0  # add_typos.jl:51-53
@@ -319,13 +318,13 @@ class _MaybeSwapK(DistKernel):
             reg = cm.list_reg[lk]
             assert reg.domain.vocab is dom.vocab, \
                 "MaybeSwap options and val must share a domain"
-            self.mask = jnp.asarray(reg.mask_matrix())
-            self.lens = jnp.asarray(np.maximum(reg.lengths(), 1))
+            self.mask = reg.mask_matrix()
+            self.lens = np.maximum(reg.lengths(), 1)
         else:
             m = np.zeros(self.V, dtype=bool)
             for o in d.options:
                 m[dom.vocab.encode(o)] = True
-            self.mask = jnp.asarray(m)
+            self.mask = m
             self.n = max(len(d.options), 1)
         self.param_key = None
         pv = node.arg_ids.get("prob")
@@ -348,7 +347,7 @@ class _MaybeSwapK(DistKernel):
     def _loglen(self, ctx):
         if self.dynamic_opts:
             lc = ctx.value(self.node.arg_ids["options"])
-            return jnp.log(self.lens[lc].astype(jnp.float32))
+            return jnp.log(jnp.asarray(self.lens)[lc].astype(jnp.float32))
         return math.log(self.n)
 
     def obs_logdensity(self, ctx, obs):
@@ -362,9 +361,9 @@ class _MaybeSwapK(DistKernel):
         val = ctx.value(self.node.arg_ids["val"])
         if self.dynamic_opts:
             lc = ctx.value(self.node.arg_ids["options"])
-            member = self.mask[lc, val]
+            member = jnp.asarray(self.mask)[lc, val]
         else:
-            member = self.mask[val]
+            member = jnp.asarray(self.mask)[val]
         return jnp.where(member, 0.0, -1000.0)
 
     def sample_prior(self, ctx, key):
@@ -373,9 +372,9 @@ class _MaybeSwapK(DistKernel):
         k1, k2 = jax.random.split(key)
         if self.dynamic_opts:
             lc = ctx.value(self.node.arg_ids["options"])
-            logits = jnp.where(self.mask[lc], 0.0, NINF)
+            logits = jnp.where(jnp.asarray(self.mask)[lc], 0.0, NINF)
         else:
-            logits = jnp.where(self.mask, 0.0, NINF)
+            logits = jnp.where(jnp.asarray(self.mask), 0.0, NINF)
         alt = jax.random.categorical(k1, logits)
         swap = jax.random.bernoulli(k2, p)
         return jnp.where(swap, alt, val)
@@ -479,16 +478,16 @@ class _ExpandK(DistKernel):
         L = max(max((len(s) for s in vs + os_), default=1), 1)
         ac, al = pad_char_codes(vs, L)
         bc, bl = pad_char_codes(os_, L)
-        self.S = jnp.asarray(native.subsequence_matrix(ac, al, bc, bl).astype(bool))
+        self.S = native.subsequence_matrix(ac, al, bc, bl).astype(bool)
         if "options" in node.arg_ids:
             lk = cm.canon(cid, node.arg_ids["options"])
             reg = cm.list_reg[lk]
             assert reg.domain.vocab is dom.vocab
             opt_mask = reg.mask_matrix()  # [Lists, V]
             self.dyn = True
-            self.opt_mask = jnp.asarray(opt_mask)
-            cnt = (np.asarray(self.S)[:, None, :] & opt_mask[None, :, :]).sum(-1)
-            self.cnt = jnp.asarray(np.maximum(cnt, 1))  # [Vval, Lists]
+            self.opt_mask = opt_mask
+            cnt = (self.S[:, None, :] & opt_mask[None, :, :]).sum(-1)
+            self.cnt = np.maximum(cnt, 1)  # [Vval, Lists]
             # value-level membership of val's value in each list
             obs_vocab = dom.vocab
             vim = np.zeros((len(val_dom.vocab), opt_mask.shape[0]), dtype=bool)
@@ -496,43 +495,43 @@ class _ExpandK(DistKernel):
                 c = obs_vocab.get(v)
                 if c >= 0:
                     vim[i] = opt_mask[:, c]
-            self.val_in_opts = jnp.asarray(vim)  # [Vval, Lists]
+            self.val_in_opts = vim  # [Vval, Lists]
         else:
             options = node.dist.options
             m = np.zeros(self.V, dtype=bool)
             for o in options:
                 m[dom.vocab.encode(o)] = True
             self.dyn = False
-            self.opt_mask = jnp.asarray(m)
-            cnt = (np.asarray(self.S) & m[None, :]).sum(-1)
-            self.cnt = jnp.asarray(np.maximum(cnt, 1))  # [Vval]
+            self.opt_mask = m
+            cnt = (self.S & m[None, :]).sum(-1)
+            self.cnt = np.maximum(cnt, 1)  # [Vval]
             vin = np.array([v in set(options) for v in val_dom.vocab.values])
-            self.val_in_opts = jnp.asarray(vin)
+            self.val_in_opts = vin
 
     def obs_logdensity(self, ctx, obs):
         val = ctx.value(self.node.arg_ids["val"])
-        ok = self.S[val, obs]
+        ok = jnp.asarray(self.S)[val, obs]
         if self.dyn:
             lc = ctx.value(self.node.arg_ids["options"])
-            cnt = self.cnt[val, lc].astype(jnp.float32)
+            cnt = jnp.asarray(self.cnt)[val, lc].astype(jnp.float32)
         else:
-            cnt = self.cnt[val].astype(jnp.float32)
+            cnt = jnp.asarray(self.cnt)[val].astype(jnp.float32)
         return jnp.where(ok, -jnp.log(cnt), -1000.0)
 
     def missing_logdensity(self, ctx):
         val = ctx.value(self.node.arg_ids["val"])
         if self.dyn:
             lc = ctx.value(self.node.arg_ids["options"])
-            return jnp.where(self.val_in_opts[val, lc], 0.0, -1000.0)
-        return jnp.where(self.val_in_opts[val], 0.0, -1000.0)
+            return jnp.where(jnp.asarray(self.val_in_opts)[val, lc], 0.0, -1000.0)
+        return jnp.where(jnp.asarray(self.val_in_opts)[val], 0.0, -1000.0)
 
     def sample_prior(self, ctx, key):
         val = ctx.value(self.node.arg_ids["val"])
         if self.dyn:
             lc = ctx.value(self.node.arg_ids["options"])
-            mask = self.S[val] & self.opt_mask[lc]
+            mask = jnp.asarray(self.S)[val] & jnp.asarray(self.opt_mask)[lc]
         else:
-            mask = self.S[val] & self.opt_mask
+            mask = jnp.asarray(self.S)[val] & jnp.asarray(self.opt_mask)
         logits = jnp.where(mask, 0.0, NINF)
         any_ok = jnp.any(mask, axis=-1)
         drawn = jax.random.categorical(key, logits)
@@ -561,8 +560,8 @@ class _FormatNameK(DistKernel):
                 for i, ob in enumerate(dom.vocab.values):
                     ob_s = ob if isinstance(ob, str) else str(ob)
                     tbl[i, j] = FN.logdensity_single(ob_s, nm_s)
-            self.tbl = jnp.asarray(tbl)
-            self.miss = jnp.asarray(miss)
+            self.tbl = tbl
+            self.miss = miss
         else:
             doms = [cm.domain(cid, node.arg_ids[f"name{i}"]) for i in range(3)]
             cells = dom.size * int(np.prod([d.size for d in doms]))
@@ -574,19 +573,19 @@ class _FormatNameK(DistKernel):
                         for c, fc in enumerate(doms[2].vocab.values):
                             tbl[i, a, b, c] = FN.logdensity_triple(
                                 str(ob), str(fa), str(fb), str(fc))
-            self.tbl = jnp.asarray(tbl)
+            self.tbl = tbl
 
     def obs_logdensity(self, ctx, obs):
         if self.arity == 1:
-            return self.tbl[obs, ctx.value(self.node.arg_ids["name0"])]
-        return self.tbl[obs,
+            return jnp.asarray(self.tbl)[obs, ctx.value(self.node.arg_ids["name0"])]
+        return jnp.asarray(self.tbl)[obs,
                         ctx.value(self.node.arg_ids["name0"]),
                         ctx.value(self.node.arg_ids["name1"]),
                         ctx.value(self.node.arg_ids["name2"])]
 
     def missing_logdensity(self, ctx):
         if self.arity == 1:
-            return self.miss[ctx.value(self.node.arg_ids["name0"])]
+            return jnp.asarray(self.miss)[ctx.value(self.node.arg_ids["name0"])]
         return 0.0
 
     def sample_prior(self, ctx, key):
@@ -603,10 +602,10 @@ class _NumberCodeK(DistKernel):
                          for v in dom.vocab.values])
         with np.errstate(invalid="ignore"):
             sv = -np.log(vals)
-        self.score = jnp.asarray(np.where(np.isnan(sv), NINF, sv).astype(np.float32))
+        self.score = np.where(np.isnan(sv), NINF, sv).astype(np.float32)
 
     def obs_logdensity(self, ctx, obs):
-        return self.score[obs]
+        return jnp.asarray(self.score)[obs]
 
     def sample_prior(self, ctx, key):
         return jnp.zeros((), dtype=jnp.int32)

@@ -75,14 +75,23 @@ class BlockResult:
 
 
 class _Ctx:
-    """Argument resolution adapter handed to DistKernels."""
+    """Argument resolution adapter handed to DistKernels.
 
-    def __init__(self, tracer, depth, resolver=None):
+    `remap` translates a kernel's canonical-class arg vertex ids into the
+    tracing class's (submodel-shifted) id space — a kernel is built once per
+    *original* node (sharing its dense tables), but the same node may be
+    generated inside any class that inlines it (reference SubmodelNode
+    semantics, model.jl:161-165)."""
+
+    def __init__(self, tracer, depth, resolver=None, remap=None):
         self.t = tracer
         self.depth = depth
         self.resolver = resolver
+        self.remap = remap
 
     def value(self, vid: VertexID):
+        if self.remap is not None:
+            vid = self.remap.get(vid, vid)
         if self.resolver is not None:
             return self.resolver(vid)
         return self.t.aligned(vid, self.depth)
@@ -94,11 +103,14 @@ class _Ctx:
 class _SampleCtx:
     """Ctx over a concrete env (post-sampling scalar values)."""
 
-    def __init__(self, tracer, env2):
+    def __init__(self, tracer, env2, remap=None):
         self.t = tracer
         self.env2 = env2
+        self.remap = remap
 
     def value(self, vid: VertexID):
+        if self.remap is not None:
+            vid = self.remap.get(vid, vid)
         return self.env2[vid]
 
     def pstate(self, cid: ClassID, vid: VertexID):
@@ -249,10 +261,18 @@ class BlockTracer:
         assert isinstance(node, ChoiceNode)
         return self.score_choice(step, vid, node, depth, mode, ctx_key)
 
+    def _arg_remap(self, vid: VertexID, node: ChoiceNode):
+        """canonical arg vertex id -> this-class arg vertex id (identity for
+        original nodes; the submodel vmap shift for inlined copies)."""
+        canon = self.cm.node(*self.cm.canon(self.cid, vid))
+        if canon is node:
+            return None
+        return {canon.arg_ids[s]: node.arg_ids[s] for s in canon.arg_ids}
+
     def score_choice(self, step: Step, vid: VertexID, node: ChoiceNode,
                      depth: int, mode: dict, ctx_key: tuple):
         kern = self.kernel(self.cid, vid)
-        ctx = _Ctx(self, depth)
+        ctx = _Ctx(self, depth, remap=self._arg_remap(vid, node))
         ov, st = self.obs_of(vid)
         if not kern.enumerable:
             # Observed here; sampled post-hoc from the prior when unobserved
@@ -512,7 +532,7 @@ class BlockTracer:
         kern = self.kernel(self.cid, vid)
         ov, state_flag = self.obs_of(vid)
         if not kern.enumerable:
-            ctx = _SampleCtx(self, st.env2)
+            ctx = _SampleCtx(self, st.env2, remap=self._arg_remap(vid, node))
             drawn = kern.sample_prior(ctx, self._keys())
             if self.force_retained:
                 drawn = self._forced(vid)

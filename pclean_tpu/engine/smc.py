@@ -43,7 +43,15 @@ from .refresh import refresh
 
 @dataclass
 class InferenceConfig:
-    """reference infer_config.jl:1-16."""
+    """reference infer_config.jl:1-16, plus TPU batching knobs.
+
+    batch_rows > 1 processes that many rows per device dispatch against a
+    frozen relational snapshot (blocked/SAME-style Gibbs — SURVEY.md §7):
+    rows whose proposal would create fresh latent rows are detected and
+    replayed sequentially, so entity births remain exact while the common
+    case runs fully vectorized. batch_rows=1 reproduces the reference's
+    strictly sequential scan (inference.jl:60-81).
+    """
 
     num_iters: int = 1
     num_particles: int = 2
@@ -51,14 +59,19 @@ class InferenceConfig:
     use_mh_instead_of_pg: bool = True
     rejuv_frequency: int = 50
     reporting_frequency: int = 100
+    batch_rows: int = 1
 
 
 def _obs_device(cm: CompiledModel):
+    """Observation columns kept as host numpy: captured inside jit they lower
+    as host-backed constants (a device-resident captured array would be
+    fetched back through the transport at every trace, which on a tunneled
+    TPU costs seconds per array)."""
     out = {}
     for spec in cm.obs_specs:
         cols = {}
         for vid, (codes, state) in spec.columns.items():
-            cols[vid] = (jnp.asarray(codes), jnp.asarray(state))
+            cols[vid] = (codes, state)
         out[spec.class_id] = cols
     return out
 
@@ -100,13 +113,55 @@ def apply_row(cm: CompiledModel, cid: ClassID, arenas: dict, slot, env2: dict,
     return out
 
 
+def _apply_batch(cm: CompiledModel, cid: ClassID, arenas: dict, slots,
+                 env2: dict, ok, mark_alive: bool) -> dict:
+    """Scatter a batch of accepted row proposals (env2 values have a leading
+    batch axis; `ok` masks rows deferred to sequential replay)."""
+    lay = cm.layouts[cid]
+    vals = dict(arenas[cid]["values"])
+    for vid, dt in lay.store.items():
+        if vid not in env2:
+            continue
+        cur = vals[vid]
+        new = jnp.asarray(env2[vid]).astype(cur.dtype)
+        vals[vid] = cur.at[slots].set(jnp.where(ok, new, cur[slots]))
+    alive = arenas[cid]["alive"]
+    if mark_alive:
+        alive = alive.at[slots].set(ok | alive[slots])
+    out = dict(arenas)
+    out[cid] = {"values": vals, "alive": alive}
+    return out
+
+
+def _setup_compilation_cache():
+    """Persistent XLA cache: the per-(class, block) programs are identical
+    across runs of the same model, so re-runs skip compilation entirely."""
+    import os
+
+    if os.environ.get("PCLEAN_JAX_CACHE", "1") == "0":
+        return
+    try:
+        cache_dir = os.path.expanduser("~/.cache/pclean_tpu_jax")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 class Engine:
     def __init__(self, cm: CompiledModel, config: InferenceConfig):
+        _setup_compilation_cache()
         self.cm = cm
         self.config = config
         self.obs_dev = _obs_device(cm)
         self._init_step_fns: dict[ClassID, callable] = {}
         self._rejuv_step_fns: dict[ClassID, callable] = {}
+        from .gibbs_params import resample_all
+
+        self._resample = jax.jit(
+            lambda arenas, params, key: resample_all(cm, arenas, params,
+                                                     self.obs_dev, key))
 
     # ------------------------------------------------------------ row steps
 
@@ -118,7 +173,7 @@ class Engine:
         cols = self.obs_dev.get(cid)
         if cols is not None:
             for vid, (codes, state) in cols.items():
-                out[vid] = (codes[slot], state[slot])
+                out[vid] = (jnp.asarray(codes)[slot], jnp.asarray(state)[slot])
         for vid, (code, cnt) in rel[cid]["prop"].items():
             out[vid] = (code[slot], (cnt[slot] > 0).astype(jnp.int8))
         return out
@@ -140,6 +195,83 @@ class Engine:
             w = w + logZ + res.weight
         return env2, births, w
 
+    def _propose_packed(self, cid, arenas, rel, params, slot, key,
+                        force_retained):
+        """vmap-friendly wrapper: pytree outputs only (Birth is unpacked)."""
+        env2, births, w = self._propose(cid, arenas, rel, params, slot, key,
+                                        force_retained)
+        traced = [{"is_new": b.is_new, "slot": b.slot, "values": b.values}
+                  for b in births]
+        return env2, w, traced
+
+    def batch_init_step(self, cid: ClassID):
+        """Jitted: propose B fresh rows in parallel against a frozen
+        snapshot; returns updated arenas and a per-row 'needs sequential
+        replay' mask for rows that tried to birth latent entities."""
+        key_name = ("batch_init", cid)
+        if key_name in self._init_step_fns:
+            return self._init_step_fns[key_name]
+        cm = self.cm
+
+        @jax.jit
+        def step(arenas, params, slots, keys_all):
+            keys = keys_all[slots]
+            rel = refresh(cm, arenas, self.obs_dev)
+            env2, w, births = jax.vmap(
+                lambda s, k: self._propose_packed(cid, arenas, rel, params,
+                                                  s, k, False))(slots, keys)
+            birthy = jnp.zeros(slots.shape, bool)
+            for b in births:
+                birthy = birthy | b["is_new"]
+            ok = ~birthy
+            arenas = _apply_batch(cm, cid, arenas, slots, env2, ok,
+                                  mark_alive=True)
+            return arenas, birthy
+
+        self._init_step_fns[key_name] = step
+        return step
+
+    def batch_rejuv_step(self, cid: ClassID):
+        """Jitted: CSMC/MH-rejuvenate B rows in parallel (frozen snapshot);
+        birthing rows are flagged for sequential replay."""
+        key_name = ("batch_rejuv", cid)
+        if key_name in self._rejuv_step_fns:
+            return self._rejuv_step_fns[key_name]
+        cm = self.cm
+
+        @jax.jit
+        def step(arenas, params, slots, keys_all):
+            keys = keys_all[slots]
+            # NOTE: the frozen snapshot does not exclude each row's own
+            # outgoing references (the sequential path does, matching
+            # unincorporate_row!). For CSMC this biases the Pitman-Yor prior
+            # by one count toward each row's current choice — vanishing for
+            # well-referenced rows; rows are replayed sequentially when this
+            # could matter most (birth proposals).
+            rel = refresh(cm, arenas, self.obs_dev)
+
+            def one(s, k):
+                kp, kr, ka = jax.random.split(k, 3)
+                env_p, w_p, births = self._propose_packed(
+                    cid, arenas, rel, params, s, kp, False)
+                _e, w_r, _b = self._propose_packed(
+                    cid, arenas, rel, params, s, kr, True)
+                alive = arenas[cid]["alive"][s] if cm.layouts[cid].observed \
+                    else rel[cid]["alive"][s]
+                accept = (jnp.log(jax.random.uniform(ka)) < (w_p - w_r)) & alive
+                birthy = jnp.zeros((), bool)
+                for b in births:
+                    birthy = birthy | b["is_new"]
+                return env_p, accept & ~birthy, birthy & alive
+
+            env2, accept, birthy = jax.vmap(one)(slots, keys)
+            arenas = _apply_batch(cm, cid, arenas, slots, env2, accept,
+                                  mark_alive=False)
+            return arenas, birthy
+
+        self._rejuv_step_fns[key_name] = step
+        return step
+
     def init_step(self, cid: ClassID):
         """Jitted: incorporate one fresh observed row (SMC init)."""
         if cid in self._init_step_fns:
@@ -147,7 +279,9 @@ class Engine:
         cm = self.cm
 
         @jax.jit
-        def step(arenas, params, slot, key):
+        def step(arenas, params, slot, keys_all):
+            key = keys_all[slot]  # indexed inside jit: an eager gather per
+            # row would cost a full transport round-trip on tunneled TPUs
             rel = refresh(cm, arenas, self.obs_dev)
             env2, births, _w = self._propose(cid, arenas, rel, params, slot,
                                              key, force_retained=False)
@@ -165,7 +299,8 @@ class Engine:
         cm = self.cm
 
         @jax.jit
-        def step(arenas, params, slot, key):
+        def step(arenas, params, slot, keys_all):
+            key = keys_all[slot]
             rel = refresh(cm, arenas, self.obs_dev, exclude_cid=cid,
                           exclude_slot=slot)
             kp, kr, ka = jax.random.split(key, 3)
@@ -195,15 +330,29 @@ class Engine:
         for spec in self.cm.obs_specs:
             cid = spec.class_id
             step = self.init_step(cid)
-            for i in range(spec.num_rows):
-                key, sub = jax.random.split(key)
-                arenas = step(arenas, params, jnp.asarray(i), sub)
-                if (i + 1) % cfg.rejuv_frequency == 0:
+            B = max(1, cfg.batch_rows)
+            bstep = self.batch_init_step(cid) if B > 1 else None
+            key, bulk = jax.random.split(key)
+            row_keys = jax.random.split(bulk, spec.num_rows)  # one device op
+            done = 0
+            while done < spec.num_rows:
+                n = min(B, spec.num_rows - done)
+                if bstep is not None and n == B:
+                    slots = jnp.arange(done, done + n)
+                    arenas, birthy = bstep(arenas, params, slots, row_keys)
+                    replay = [done + int(s) for s in
+                              np.flatnonzero(np.asarray(birthy))]
+                else:
+                    replay = list(range(done, done + n))
+                for s in replay:
+                    arenas = step(arenas, params, s, row_keys)
+                prev = done
+                done += n
+                if (done // cfg.rejuv_frequency) != (prev // cfg.rejuv_frequency):
                     key, sub = jax.random.split(key)
-                    arenas, params = resample_all(self.cm, arenas, params,
-                                                  self.obs_dev, sub)
-                if progress and (i + 1) % progress == 0:
-                    print(f"Initializing row {i + 1} of {spec.num_rows} for {cid}...")
+                    arenas, params = self._resample(arenas, params, sub)
+                if progress and (done // progress) != (prev // progress):
+                    print(f"Initializing row {done} of {spec.num_rows} for {cid}...")
         return arenas, params, key
 
     def sweep(self, key, arenas, params, progress: Optional[int] = None):
@@ -225,15 +374,31 @@ class Engine:
                 rel = refresh(self.cm, arenas, self.obs_dev)
                 alive = np.asarray(rel[cid]["alive"])
                 slots = [int(s) for s in np.flatnonzero(alive)]
-            for i, s in enumerate(slots):
-                key, sub = jax.random.split(key)
-                arenas = step(arenas, params, jnp.asarray(s), sub)
-                if (i + 1) % cfg.rejuv_frequency == 0:
+            B = max(1, cfg.batch_rows)
+            bstep = self.batch_rejuv_step(cid) if B > 1 else None
+            key, bulk = jax.random.split(key)
+            cap = self.cm.layouts[cid].capacity
+            row_keys = jax.random.split(bulk, cap)  # keyed by slot
+            done = 0
+            while done < len(slots):
+                n = min(B, len(slots) - done)
+                chunk = slots[done:done + n]
+                if bstep is not None and n == B:
+                    arenas, birthy = bstep(arenas, params, jnp.asarray(chunk),
+                                           row_keys)
+                    replay = [chunk[int(i)] for i in
+                              np.flatnonzero(np.asarray(birthy))]
+                else:
+                    replay = chunk
+                for s in replay:
+                    arenas = step(arenas, params, s, row_keys)
+                prev = done
+                done += n
+                if (done // cfg.rejuv_frequency) != (prev // cfg.rejuv_frequency):
                     key, sub = jax.random.split(key)
-                    arenas, params = resample_all(self.cm, arenas, params,
-                                                  self.obs_dev, sub)
-                if progress and (i + 1) % progress == 0:
-                    print(f"{cid}: cleaning row {i + 1} of {len(slots)}")
+                    arenas, params = self._resample(arenas, params, sub)
+                if progress and (done // progress) != (prev // progress):
+                    print(f"{cid}: cleaning row {done} of {len(slots)}")
         return arenas, params, key
 
     def run(self, key, arenas, params, progress: Optional[int] = None):
