@@ -60,6 +60,15 @@ class InferenceConfig:
     rejuv_frequency: int = 50
     reporting_frequency: int = 100
     batch_rows: int = 1
+    use_scan: bool = True  # fuse whole passes into single lax.scan programs
+    # The dense block proposals enumerate the full joint over each block, so
+    # the MH proposal IS the conditional posterior and the acceptance ratio
+    # is exactly 1 whenever every weight-bearing node is enumerable or
+    # observed (true for all bundled workloads; the reference's w2/w1 is
+    # likewise 1 there — block_proposal.jl:160-191 telescopes to logZ for
+    # both particles). Skipping the retained-particle scoring pass halves
+    # rejuvenation cost; set False to force the explicit MH comparison.
+    exact_gibbs_accept: bool = True
 
 
 def _obs_device(cm: CompiledModel):
@@ -157,11 +166,18 @@ class Engine:
         self.obs_dev = _obs_device(cm)
         self._init_step_fns: dict[ClassID, callable] = {}
         self._rejuv_step_fns: dict[ClassID, callable] = {}
+        from .aot import AotCache
         from .gibbs_params import resample_all
 
+        self._aot = AotCache(cm, extra=f"-r{config.rejuv_frequency}")
         self._resample = jax.jit(
             lambda arenas, params, key: resample_all(cm, arenas, params,
                                                      self.obs_dev, key))
+        # jitted liveness query (an *eager* refresh would dispatch ~100
+        # individually remote-compiled ops on tunneled backends)
+        self._alive = jax.jit(
+            lambda arenas: {c: refresh(cm, arenas, self.obs_dev)[c]["alive"]
+                            for c in cm.model.class_order})
 
     # ------------------------------------------------------------ row steps
 
@@ -319,6 +335,230 @@ class Engine:
         self._rejuv_step_fns[cid] = step
         return step
 
+    # ---------------------------------------------------- fused scan drivers
+
+    def scan_init(self, cid: ClassID, num_rows: int):
+        """The ENTIRE initialization pass as one XLA program: a lax.scan over
+        rows with the periodic parameter rejuvenation folded in as a
+        lax.cond (SURVEY.md §7: 'the sweep becomes a scan'). One device
+        dispatch for the whole dataset — this is what makes throughput
+        independent of per-dispatch transport latency.
+        """
+        ck = ("scan_init", cid, num_rows)
+        if ck in self._init_step_fns:
+            return self._init_step_fns[ck]
+        cm = self.cm
+        R = self.config.rejuv_frequency
+        from .gibbs_params import resample_all
+
+        @jax.jit
+        def run(arenas, params, keys):
+            def body(carry, x):
+                arenas, params = carry
+                slot, key = x
+                k1, k2 = jax.random.split(key)
+                rel = refresh(cm, arenas, self.obs_dev)
+                env2, births, _w = self._propose(cid, arenas, rel, params,
+                                                 slot, k1, False)
+                arenas = apply_row(cm, cid, arenas, slot, env2, births,
+                                   accept=jnp.asarray(True), mark_alive=True)
+                do = ((slot + 1) % R) == 0
+                arenas, params = jax.lax.cond(
+                    do,
+                    lambda c: resample_all(cm, c[0], c[1], self.obs_dev, k2),
+                    lambda c: c,
+                    (arenas, params))
+                return (arenas, params), ()
+
+            (arenas, params), _ = jax.lax.scan(
+                body, (arenas, params), (jnp.arange(num_rows), keys))
+            return arenas, params
+
+        run = self._aot.wrap(f"scan_init_{cid}_{num_rows}", run)
+        self._init_step_fns[ck] = run
+        return run
+
+    def scan_sweep_class(self, cid: ClassID):
+        """One class's full rejuvenation sweep as a single scanned program
+        (dead slots no-op through the accept mask, like the reference's
+        keys(table.rows) iteration but shape-static)."""
+        ck = ("scan_sweep", cid)
+        if ck in self._rejuv_step_fns:
+            return self._rejuv_step_fns[ck]
+        cm = self.cm
+        R = self.config.rejuv_frequency
+        from .gibbs_params import resample_all
+
+        @jax.jit
+        def run(arenas, params, keys):
+            def body(carry, x):
+                arenas, params = carry
+                slot, key = x
+                kp, kr, ka, kq = jax.random.split(key, 4)
+                rel = refresh(cm, arenas, self.obs_dev, exclude_cid=cid,
+                              exclude_slot=slot)
+                env_p, births_p, w_p = self._propose(cid, arenas, rel, params,
+                                                     slot, kp, False)
+                _er, _br, w_r = self._propose(cid, arenas, rel, params,
+                                              slot, kr, True)
+                alive = arenas[cid]["alive"][slot] if cm.layouts[cid].observed \
+                    else rel[cid]["alive"][slot]
+                accept = (jnp.log(jax.random.uniform(ka)) < (w_p - w_r)) & alive
+                arenas = apply_row(cm, cid, arenas, slot, env_p, births_p,
+                                   accept=accept, mark_alive=False)
+                do = ((slot + 1) % R) == 0
+                arenas, params = jax.lax.cond(
+                    do,
+                    lambda c: resample_all(cm, c[0], c[1], self.obs_dev, kq),
+                    lambda c: c,
+                    (arenas, params))
+                return (arenas, params), ()
+
+            cap = cm.layouts[cid].capacity
+            (arenas, params), _ = jax.lax.scan(
+                body, (arenas, params), (jnp.arange(cap), keys))
+            return arenas, params
+
+        run = self._aot.wrap(f"scan_sweep_{cid}", run)
+        self._rejuv_step_fns[ck] = run
+        return run
+
+    def scan_sweep_all(self):
+        """The ENTIRE rejuvenation sweep (every class, declaration order) as
+        one XLA program — pgibbs_sweep! (inference.jl:60-81) in a single
+        device dispatch."""
+        ck = ("scan_sweep_all",)
+        if ck in self._rejuv_step_fns:
+            return self._rejuv_step_fns[ck]
+        cm = self.cm
+        R = self.config.rejuv_frequency
+        from .gibbs_params import resample_all
+
+        def class_pass(cid, arenas, params, keys):
+            def body(carry, x):
+                arenas, params = carry
+                slot, key = x
+                kp, kr, ka, kq = jax.random.split(key, 4)
+                rel = refresh(cm, arenas, self.obs_dev, exclude_cid=cid,
+                              exclude_slot=slot)
+                env_p, births_p, w_p = self._propose(cid, arenas, rel, params,
+                                                     slot, kp, False)
+                alive = arenas[cid]["alive"][slot] if cm.layouts[cid].observed \
+                    else rel[cid]["alive"][slot]
+                if self.config.exact_gibbs_accept:
+                    accept = alive
+                else:
+                    _er, _br, w_r = self._propose(cid, arenas, rel, params,
+                                                  slot, kr, True)
+                    accept = (jnp.log(jax.random.uniform(ka))
+                              < (w_p - w_r)) & alive
+                arenas = apply_row(cm, cid, arenas, slot, env_p, births_p,
+                                   accept=accept, mark_alive=False)
+                do = ((slot + 1) % R) == 0
+                arenas, params = jax.lax.cond(
+                    do,
+                    lambda c: resample_all(cm, c[0], c[1], self.obs_dev, kq),
+                    lambda c: c,
+                    (arenas, params))
+                return (arenas, params), ()
+
+            cap = cm.layouts[cid].capacity
+            (arenas, params), _ = jax.lax.scan(
+                body, (arenas, params), (jnp.arange(cap), keys))
+            return arenas, params
+
+        total_cap = sum(cm.layouts[c].capacity for c in cm.model.class_order)
+
+        @jax.jit
+        def run(arenas, params, keys):  # keys: [total_cap, 2]
+            off = 0
+            for cid in cm.model.class_order:
+                cap = cm.layouts[cid].capacity
+                arenas, params = class_pass(cid, arenas, params,
+                                            keys[off:off + cap])
+                off += cap
+            return arenas, params
+
+        run = self._aot.wrap("scan_sweep_all", run)
+        self._rejuv_step_fns[ck] = (run, total_cap)
+        return run, total_cap
+
+    def scan_sweep_all_batched(self, B: int):
+        """Fused sweep with B-row blocked-Gibbs batches vmapped inside the
+        scan: per-op work scales by B while op count stays fixed, which is
+        the right trade on dispatch/op-overhead-bound backends. Rows whose
+        proposal births fresh latent rows are skipped and their slots
+        returned for sequential replay (same contract as batch_rejuv_step).
+        """
+        ck = ("scan_sweep_all_batched", B)
+        if ck in self._rejuv_step_fns:
+            return self._rejuv_step_fns[ck]
+        cm = self.cm
+        R = max(1, self.config.rejuv_frequency // B)
+        from .gibbs_params import resample_all
+
+        def class_pass(cid, arenas, params, keys, n_batches):
+            def body(carry, x):
+                arenas, params = carry
+                bi, bkeys = x  # bkeys: [B, 2]
+                slots = bi * B + jnp.arange(B)
+                rel = refresh(cm, arenas, self.obs_dev)
+
+                def one(s, k):
+                    kp, kr, ka = jax.random.split(k, 3)
+                    env_p, w_p, births = self._propose_packed(
+                        cid, arenas, rel, params, s, kp, False)
+                    alive = arenas[cid]["alive"][s] \
+                        if cm.layouts[cid].observed else rel[cid]["alive"][s]
+                    birthy = jnp.zeros((), bool)
+                    for b in births:
+                        birthy = birthy | b["is_new"]
+                    if self.config.exact_gibbs_accept:
+                        accept = alive
+                    else:
+                        _er, w_r, _b = self._propose_packed(
+                            cid, arenas, rel, params, s, kr, True)
+                        accept = (jnp.log(jax.random.uniform(ka))
+                                  < (w_p - w_r)) & alive
+                    return env_p, accept & ~birthy, birthy & alive
+
+                env2, accept, birthy = jax.vmap(one)(slots, bkeys)
+                arenas = _apply_batch(cm, cid, arenas, slots, env2, accept,
+                                      mark_alive=False)
+                kq = jax.random.fold_in(bkeys[0], 7)
+                do = ((bi + 1) % R) == 0
+                arenas, params = jax.lax.cond(
+                    do,
+                    lambda c: resample_all(cm, c[0], c[1], self.obs_dev, kq),
+                    lambda c: c,
+                    (arenas, params))
+                return (arenas, params), birthy
+
+            (arenas, params), birthys = jax.lax.scan(
+                body, (arenas, params),
+                (jnp.arange(n_batches), keys.reshape(n_batches, B, 2)))
+            return arenas, params, birthys.reshape(-1)
+
+        caps = {cid: ((cm.layouts[cid].capacity + B - 1) // B) * B
+                for cid in cm.model.class_order}
+        total = sum(caps.values())
+
+        @jax.jit
+        def run(arenas, params, keys):  # keys: [total, 2]
+            off = 0
+            flags = {}
+            for cid in cm.model.class_order:
+                n_batches = caps[cid] // B
+                arenas, params, fl = class_pass(
+                    cid, arenas, params, keys[off:off + caps[cid]], n_batches)
+                flags[cid] = fl
+                off += caps[cid]
+            return arenas, params, flags
+
+        run = self._aot.wrap(f"scan_sweep_all_b{B}", run)
+        self._rejuv_step_fns[ck] = (run, total, caps)
+        return run, total, caps
+
     # -------------------------------------------------------------- drivers
 
     def initialize(self, key, arenas, params, progress: Optional[int] = None):
@@ -329,6 +569,12 @@ class Engine:
         cfg = self.config
         for spec in self.cm.obs_specs:
             cid = spec.class_id
+            if cfg.use_scan and cfg.batch_rows <= 1:
+                key, bulk = jax.random.split(key)
+                row_keys = jax.random.split(bulk, spec.num_rows)
+                run = self.scan_init(cid, spec.num_rows)
+                arenas, params = run(arenas, params, row_keys)
+                continue
             step = self.init_step(cid)
             B = max(1, cfg.batch_rows)
             bstep = self.batch_init_step(cid) if B > 1 else None
@@ -361,7 +607,36 @@ class Engine:
         from .gibbs_params import resample_all
 
         cfg = self.config
+        if cfg.use_scan and cfg.batch_rows <= 1:
+            run, total_cap = self.scan_sweep_all()
+            key, bulk = jax.random.split(key)
+            row_keys = jax.random.split(bulk, total_cap)
+            arenas, params = run(arenas, params, row_keys)
+            if progress:
+                print("sweep done (fused)")
+            return arenas, params, key
+        if cfg.use_scan and cfg.batch_rows > 1:
+            run, total, caps = self.scan_sweep_all_batched(cfg.batch_rows)
+            key, bulk = jax.random.split(key)
+            row_keys = jax.random.split(bulk, total)
+            arenas, params, flags = run(arenas, params, row_keys)
+            # replay rows whose proposals tried to birth latent entities
+            for cid in self.cm.model.class_order:
+                fl = np.asarray(flags[cid])
+                idx = np.flatnonzero(fl[: self.cm.layouts[cid].capacity])
+                if idx.size == 0:
+                    continue
+                step = self.rejuv_step(cid)
+                key, bulk = jax.random.split(key)
+                rk = jax.random.split(bulk, self.cm.layouts[cid].capacity)
+                for s in idx:
+                    arenas = step(arenas, params, int(s), rk)
+            if progress:
+                print("sweep done (fused, batched)")
+            return arenas, params, key
         for cid in self.cm.model.class_order:
+            if False:
+                continue
             step = self.rejuv_step(cid)
             lay = self.cm.layouts[cid]
             if lay.observed:
@@ -371,8 +646,7 @@ class Engine:
                 # inference.jl:66); snapshot at sweep start — rows born
                 # mid-sweep are picked up next sweep, rows dying mid-sweep
                 # no-op through the accept mask
-                rel = refresh(self.cm, arenas, self.obs_dev)
-                alive = np.asarray(rel[cid]["alive"])
+                alive = np.asarray(self._alive(arenas)[cid])
                 slots = [int(s) for s in np.flatnonzero(alive)]
             B = max(1, cfg.batch_rows)
             bstep = self.batch_rejuv_step(cid) if B > 1 else None
