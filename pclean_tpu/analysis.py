@@ -25,12 +25,14 @@ from .model.query import ObservedDataset, Query
 def read_cell_values(cm: CompiledModel, arenas: dict, params: dict,
                      cid: str, vid: int) -> list:
     """Decode one queried vertex for every row of an observed class
-    (host-side; computes are re-derived through fk indirection)."""
+    (jitted gather chains; computes re-derived through fk indirection)."""
     lay = cm.layouts[cid]
+    import jax
     import jax.numpy as jnp
 
-    vals = np.asarray(row_value(cm, arenas, params, cid, vid,
-                                jnp.arange(lay.capacity)))
+    fn = jax.jit(lambda a, p: row_value(cm, a, p, cid, vid,
+                                        jnp.arange(lay.capacity)))
+    vals = np.asarray(fn(arenas, params))
     from .model.ir import strip_subnodes
 
     if isinstance(strip_subnodes(cm.node(cid, vid)), ForeignKeyNode):
