@@ -26,7 +26,7 @@ from pclean_tpu.io import read_csv, unique_values
 from pclean_tpu.model.builder import ModelBuilder
 from pclean_tpu.model.query import ObservedDataset, Query
 
-CAPACITIES = {"County": 1024}
+CAPACITIES = {"County": 4096}
 ROOM_TYPES = ["studio", "1br", "2br", "3br", "4br"]
 UNITS = [Transformation(lambda x: x, lambda x: x, lambda x: 1.0),
          Transformation(lambda x: x / 1000.0, lambda x: x * 1000.0,

@@ -578,6 +578,12 @@ class BlockTracer:
         else:
             chosen = jax.random.categorical(self._keys(), logits).astype(jnp.int32)
         is_new = chosen == K
+        # full-arena guard: with no free slot, fall back to the best-scoring
+        # existing candidate instead of overwriting a live row
+        has_free = ~jnp.all(st.alive2[tc])
+        fallback = jnp.argmax(logits[:K]).astype(jnp.int32)
+        chosen = jnp.where(is_new & ~has_free, fallback, chosen)
+        is_new = is_new & has_free
         effective_new = is_new & st.gate
         c_exist = jnp.minimum(chosen, K - 1)
 

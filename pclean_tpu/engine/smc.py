@@ -61,6 +61,10 @@ class InferenceConfig:
     reporting_frequency: int = 100
     batch_rows: int = 1
     use_scan: bool = True  # fuse whole passes into single lax.scan programs
+    # rows per scan dispatch: bounds single-dispatch device time (tunneled
+    # backends can kill very long executions) while keeping dispatch count
+    # ~N/segment; one compiled program is reused across segments
+    scan_segment: int = 512
     # The dense block proposals enumerate the full joint over each block, so
     # the MH proposal IS the conditional posterior and the acceptance ratio
     # is exactly 1 whenever every weight-bearing node is enumerable or
@@ -338,13 +342,15 @@ class Engine:
     # ---------------------------------------------------- fused scan drivers
 
     def scan_init(self, cid: ClassID, num_rows: int):
-        """The ENTIRE initialization pass as one XLA program: a lax.scan over
-        rows with the periodic parameter rejuvenation folded in as a
-        lax.cond (SURVEY.md §7: 'the sweep becomes a scan'). One device
-        dispatch for the whole dataset — this is what makes throughput
-        independent of per-dispatch transport latency.
+        """A segment of the initialization pass as one XLA program: a
+        lax.scan over `scan_segment` rows with the periodic parameter
+        rejuvenation folded in as a lax.cond (SURVEY.md §7: 'the sweep
+        becomes a scan'). The driver reuses the one compiled program across
+        segments, so dispatch count is ~N/segment and per-dispatch device
+        time stays bounded.
         """
-        ck = ("scan_init", cid, num_rows)
+        seg = min(self.config.scan_segment, num_rows)
+        ck = ("scan_init", cid, seg, num_rows)
         if ck in self._init_step_fns:
             return self._init_step_fns[ck]
         cm = self.cm
@@ -352,17 +358,24 @@ class Engine:
         from .gibbs_params import resample_all
 
         @jax.jit
-        def run(arenas, params, keys):
+        def run(arenas, params, base, keys):  # keys: [seg, 2]
             def body(carry, x):
                 arenas, params = carry
-                slot, key = x
+                off, key = x
+                slot = base + off
+                valid = slot < num_rows
                 k1, k2 = jax.random.split(key)
                 rel = refresh(cm, arenas, self.obs_dev)
                 env2, births, _w = self._propose(cid, arenas, rel, params,
                                                  slot, k1, False)
                 arenas = apply_row(cm, cid, arenas, slot, env2, births,
-                                   accept=jnp.asarray(True), mark_alive=True)
-                do = ((slot + 1) % R) == 0
+                                   accept=valid, mark_alive=False)
+                alive = arenas[cid]["alive"]
+                arenas = {**arenas,
+                          cid: {**arenas[cid],
+                                "alive": alive.at[slot].set(
+                                    alive[slot] | valid)}}
+                do = valid & (((slot + 1) % R) == 0)
                 arenas, params = jax.lax.cond(
                     do,
                     lambda c: resample_all(cm, c[0], c[1], self.obs_dev, k2),
@@ -371,18 +384,21 @@ class Engine:
                 return (arenas, params), ()
 
             (arenas, params), _ = jax.lax.scan(
-                body, (arenas, params), (jnp.arange(num_rows), keys))
+                body, (arenas, params), (jnp.arange(seg), keys))
             return arenas, params
 
-        run = self._aot.wrap(f"scan_init_{cid}_{num_rows}", run)
-        self._init_step_fns[ck] = run
-        return run
+        run = self._aot.wrap(f"scan_init_{cid}_{seg}_{num_rows}", run)
+        self._init_step_fns[ck] = (run, seg)
+        return run, seg
 
     def scan_sweep_class(self, cid: ClassID):
-        """One class's full rejuvenation sweep as a single scanned program
-        (dead slots no-op through the accept mask, like the reference's
-        keys(table.rows) iteration but shape-static)."""
-        ck = ("scan_sweep", cid)
+        """A segment of one class's rejuvenation sweep as one scanned
+        program (dead slots no-op through the accept mask, like the
+        reference's keys(table.rows) iteration but shape-static). Returns
+        (run(arenas, params, base, keys[seg]), seg)."""
+        cap = self.cm.layouts[cid].capacity
+        seg = min(self.config.scan_segment, cap)
+        ck = ("scan_sweep", cid, seg)
         if ck in self._rejuv_step_fns:
             return self._rejuv_step_fns[ck]
         cm = self.cm
@@ -390,23 +406,29 @@ class Engine:
         from .gibbs_params import resample_all
 
         @jax.jit
-        def run(arenas, params, keys):
+        def run(arenas, params, base, keys):
             def body(carry, x):
                 arenas, params = carry
-                slot, key = x
+                off, key = x
+                slot = base + off
+                valid = slot < cap
                 kp, kr, ka, kq = jax.random.split(key, 4)
                 rel = refresh(cm, arenas, self.obs_dev, exclude_cid=cid,
                               exclude_slot=slot)
                 env_p, births_p, w_p = self._propose(cid, arenas, rel, params,
                                                      slot, kp, False)
-                _er, _br, w_r = self._propose(cid, arenas, rel, params,
-                                              slot, kr, True)
                 alive = arenas[cid]["alive"][slot] if cm.layouts[cid].observed \
                     else rel[cid]["alive"][slot]
-                accept = (jnp.log(jax.random.uniform(ka)) < (w_p - w_r)) & alive
+                if self.config.exact_gibbs_accept:
+                    accept = alive & valid
+                else:
+                    _er, _br, w_r = self._propose(cid, arenas, rel, params,
+                                                  slot, kr, True)
+                    accept = (jnp.log(jax.random.uniform(ka))
+                              < (w_p - w_r)) & alive & valid
                 arenas = apply_row(cm, cid, arenas, slot, env_p, births_p,
                                    accept=accept, mark_alive=False)
-                do = ((slot + 1) % R) == 0
+                do = valid & (((slot + 1) % R) == 0)
                 arenas, params = jax.lax.cond(
                     do,
                     lambda c: resample_all(cm, c[0], c[1], self.obs_dev, kq),
@@ -414,14 +436,13 @@ class Engine:
                     (arenas, params))
                 return (arenas, params), ()
 
-            cap = cm.layouts[cid].capacity
             (arenas, params), _ = jax.lax.scan(
-                body, (arenas, params), (jnp.arange(cap), keys))
+                body, (arenas, params), (jnp.arange(seg), keys))
             return arenas, params
 
-        run = self._aot.wrap(f"scan_sweep_{cid}", run)
-        self._rejuv_step_fns[ck] = run
-        return run
+        run = self._aot.wrap(f"scan_sweep_{cid}_{seg}", run)
+        self._rejuv_step_fns[ck] = (run, seg)
+        return run, seg
 
     def scan_sweep_all(self):
         """The ENTIRE rejuvenation sweep (every class, declaration order) as
@@ -571,9 +592,16 @@ class Engine:
             cid = spec.class_id
             if cfg.use_scan and cfg.batch_rows <= 1:
                 key, bulk = jax.random.split(key)
-                row_keys = jax.random.split(bulk, spec.num_rows)
-                run = self.scan_init(cid, spec.num_rows)
-                arenas, params = run(arenas, params, row_keys)
+                run, seg = self.scan_init(cid, spec.num_rows)
+                done = 0
+                while done < spec.num_rows:
+                    key, bulk = jax.random.split(key)
+                    seg_keys = jax.random.split(bulk, seg)
+                    arenas, params = run(arenas, params, done, seg_keys)
+                    done += seg
+                    if progress and (done // progress) != ((done - seg) // progress):
+                        print(f"Initialized ~{min(done, spec.num_rows)} of "
+                              f"{spec.num_rows} rows for {cid}")
                 continue
             step = self.init_step(cid)
             B = max(1, cfg.batch_rows)
@@ -608,12 +636,17 @@ class Engine:
 
         cfg = self.config
         if cfg.use_scan and cfg.batch_rows <= 1:
-            run, total_cap = self.scan_sweep_all()
-            key, bulk = jax.random.split(key)
-            row_keys = jax.random.split(bulk, total_cap)
-            arenas, params = run(arenas, params, row_keys)
-            if progress:
-                print("sweep done (fused)")
+            for cid in self.cm.model.class_order:
+                run, seg = self.scan_sweep_class(cid)
+                cap = self.cm.layouts[cid].capacity
+                done = 0
+                while done < cap:
+                    key, bulk = jax.random.split(key)
+                    seg_keys = jax.random.split(bulk, seg)
+                    arenas, params = run(arenas, params, done, seg_keys)
+                    done += seg
+                if progress:
+                    print(f"{cid}: sweep done")
             return arenas, params, key
         if cfg.use_scan and cfg.batch_rows > 1:
             run, total, caps = self.scan_sweep_all_batched(cfg.batch_rows)
