@@ -1,0 +1,157 @@
+"""Particle-Gibbs / SMC with many vmapped particles.
+
+Counterpart of the reference's particle machinery
+(/root/reference/src/inference/row_inference.jl): SMCParticle (1-5),
+adaptive multinomial resampling at ESS < N/2 with retain-first for CSMC
+(87-105, 152-155), and the final categorical selection (159-165). The
+reference runs 2 particles in a Julia loop; here the particle axis is a
+`jax.vmap` axis of the block proposal, so thousands of particles cost one
+fused program — and weights genuinely differ across particles because later
+blocks' marginals depend on earlier blocks' sampled values.
+
+(The bundled experiments use MH mode, where the exact block-Gibbs proposal
+makes multi-particle selection a no-op within a block; PG matters for models
+with cross-block coupling and for the multi-device particle sharding in
+parallel/shard.py.)
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..model.ir import ClassID
+from ..utils import effective_sample_size, log_normalize, logsumexp
+from .compile import CompiledModel
+from .propose import Birth, BlockTracer
+from .refresh import refresh
+from .smc import apply_row
+
+
+def propose_row_pg(engine, cid: ClassID, arenas: dict, rel: dict,
+                   params: dict, slot, keys, retained: bool = False):
+    """One row's SMC with P = keys.shape[0] particles.
+
+    Returns (env_chosen, births(list of Birth), log_ml). With retained=True
+    the first particle is the CSMC retained particle, forced to the stored
+    row (row_inference.jl:143-145).
+    """
+    cm = engine.cm
+    c = cm.cls(cid)
+    P = int(keys.shape[0])
+    obs_row = engine._obs_row_slices(cid, slot, rel)
+    # (fk_vid, target_class) per birth record, in tracer append order;
+    # deterministic per block, captured once at first trace of each block
+    statics: dict[int, list] = {}
+
+    def block_fn(bi, plan, env0, key, force):
+        tr = BlockTracer(cm, cid, arenas, rel, params, engine.obs_dev,
+                         obs_row, env0, slot, force_retained=force)
+        logZ, res = tr.run(plan, key)
+        if bi not in statics:
+            statics[bi] = [(b.fk_vid, b.target_class) for b in res.births]
+        traced = [{"is_new": b.is_new, "slot": b.slot, "values": b.values}
+                  for b in res.births]
+        return res.env, logZ + res.weight, traced
+
+    envs = None
+    birthss: list = []  # flat list of per-block traced births (particle axis)
+    ws = jnp.zeros((P,), jnp.float32)
+    log_ml = jnp.zeros((), jnp.float32)
+    n_blocks = len(c.plans)
+    for bi, plan in enumerate(c.plans):
+        bkeys = jax.vmap(lambda k: jax.random.fold_in(k, bi))(keys)
+        env_in_r = {} if envs is None else jax.tree.map(lambda x: x[0], envs)
+        env_in_f = ({} if envs is None
+                    else jax.tree.map(lambda x: x[1:], envs))
+        if retained:
+            env_r, w_r, b_r = block_fn(bi, plan, env_in_r, bkeys[0], True)
+            env_f, w_f, b_f = jax.vmap(
+                lambda e, k: block_fn(bi, plan, e, k, False))(env_in_f,
+                                                              bkeys[1:]) \
+                if envs is not None else jax.vmap(
+                    lambda k: block_fn(bi, plan, {}, k, False))(bkeys[1:])
+            envs = jax.tree.map(
+                lambda r, f: jnp.concatenate([jnp.asarray(r)[None], f]),
+                env_r, env_f)
+            dws = jnp.concatenate([jnp.asarray(w_r)[None], w_f])
+            blk_births = jax.tree.map(
+                lambda r, f: jnp.concatenate([jnp.asarray(r)[None], f]),
+                b_r, b_f)
+        else:
+            if envs is None:
+                envs, dws, blk_births = jax.vmap(
+                    lambda k: block_fn(bi, plan, {}, k, False))(bkeys)
+            else:
+                envs, dws, blk_births = jax.vmap(
+                    lambda e, k: block_fn(bi, plan, e, k, False))(envs, bkeys)
+        birthss.extend(blk_births)
+        ws = ws + dws
+        if bi < n_blocks - 1 and P > 1:
+            # adaptive multinomial resampling (row_inference.jl:87-105)
+            lw = log_normalize(ws)
+            ess = effective_sample_size(lw)
+            rkey = jax.random.fold_in(keys[0], 1000 + bi)
+            idx = jax.random.categorical(rkey, ws, shape=(P,))
+            if retained:
+                idx = idx.at[0].set(0)  # retain-first
+            do = ess < P / 2.0
+            sel = jnp.where(do, idx, jnp.arange(P))
+            log_ml = log_ml + jnp.where(do, logsumexp(ws) - jnp.log(float(P)),
+                                        0.0)
+            envs = jax.tree.map(lambda x: x[sel], envs)
+            birthss = [jax.tree.map(lambda x: x[sel], b) for b in birthss]
+            ws = jnp.where(do, jnp.zeros_like(ws), ws)
+
+    jkey = jax.random.fold_in(keys[0], 999)
+    j = jax.random.categorical(jkey, ws)
+    env = jax.tree.map(lambda x: x[j], envs)
+    flat_statics = [s for bi in sorted(statics) for s in statics[bi]]
+    births = []
+    for (fk, tc), d in zip(flat_statics, birthss):
+        births.append(Birth(fk, tc, d["is_new"][j], d["slot"][j],
+                            {k: v[j] for k, v in d["values"].items()}))
+    log_ml = log_ml + logsumexp(ws) - jnp.log(float(P))
+    return env, births, log_ml
+
+
+def pg_init_step(engine, cid: ClassID, num_particles: int):
+    """Jitted: incorporate one fresh row via P-particle SMC; returns
+    (arenas, log_ml)."""
+    cm = engine.cm
+
+    @jax.jit
+    def step(arenas, params, slot, keys_all):
+        key = keys_all[slot]
+        pkeys = jax.random.split(key, num_particles)
+        rel = refresh(cm, arenas, engine.obs_dev)
+        env, births, log_ml = propose_row_pg(engine, cid, arenas, rel, params,
+                                             slot, pkeys, retained=False)
+        arenas = apply_row(cm, cid, arenas, slot, env, births,
+                           accept=jnp.asarray(True), mark_alive=True)
+        return arenas, log_ml
+
+    return step
+
+
+def pg_rejuv_step(engine, cid: ClassID, num_particles: int):
+    """Jitted: CSMC rejuvenation with P particles (particle 1 retained);
+    final selection by weight (PG rule, row_inference.jl:164)."""
+    cm = engine.cm
+
+    @jax.jit
+    def step(arenas, params, slot, keys_all):
+        key = keys_all[slot]
+        pkeys = jax.random.split(key, num_particles)
+        rel = refresh(cm, arenas, engine.obs_dev, exclude_cid=cid,
+                      exclude_slot=slot)
+        env, births, log_ml = propose_row_pg(engine, cid, arenas, rel, params,
+                                             slot, pkeys, retained=True)
+        alive = arenas[cid]["alive"][slot] if cm.layouts[cid].observed \
+            else rel[cid]["alive"][slot]
+        arenas = apply_row(cm, cid, arenas, slot, env, births,
+                           accept=alive, mark_alive=False)
+        return arenas, log_ml
+
+    return step

@@ -590,6 +590,22 @@ class Engine:
         cfg = self.config
         for spec in self.cm.obs_specs:
             cid = spec.class_id
+            if not cfg.use_mh_instead_of_pg and cfg.num_particles > 1:
+                from .particles import pg_init_step
+
+                step = pg_init_step(self, cid, cfg.num_particles)
+                key, bulk = jax.random.split(key)
+                row_keys = jax.random.split(bulk, spec.num_rows)
+                self.log_ml = jnp.zeros((), jnp.float32)
+                for i in range(spec.num_rows):
+                    arenas, lml = step(arenas, params, i, row_keys)
+                    self.log_ml = self.log_ml + lml
+                    if (i + 1) % cfg.rejuv_frequency == 0:
+                        key, sub = jax.random.split(key)
+                        arenas, params = self._resample(arenas, params, sub)
+                    if progress and (i + 1) % progress == 0:
+                        print(f"PG init row {i + 1}/{spec.num_rows} for {cid}")
+                continue
             if cfg.use_scan and cfg.batch_rows <= 1:
                 key, bulk = jax.random.split(key)
                 run, seg = self.scan_init(cid, spec.num_rows)
@@ -635,6 +651,23 @@ class Engine:
         from .gibbs_params import resample_all
 
         cfg = self.config
+        if not cfg.use_mh_instead_of_pg and cfg.num_particles > 1:
+            from .particles import pg_rejuv_step
+
+            for cid in self.cm.model.class_order:
+                step = pg_rejuv_step(self, cid, cfg.num_particles)
+                alive = np.asarray(self._alive(arenas)[cid]) \
+                    if not self.cm.layouts[cid].observed \
+                    else np.ones(self.cm.layouts[cid].capacity, bool)
+                slots = [int(s) for s in np.flatnonzero(alive)]
+                key, bulk = jax.random.split(key)
+                row_keys = jax.random.split(bulk, self.cm.layouts[cid].capacity)
+                for i, s in enumerate(slots):
+                    arenas, _ = step(arenas, params, s, row_keys)
+                    if (i + 1) % cfg.rejuv_frequency == 0:
+                        key, sub = jax.random.split(key)
+                        arenas, params = self._resample(arenas, params, sub)
+            return arenas, params, key
         if cfg.use_scan and cfg.batch_rows <= 1:
             for cid in self.cm.model.class_order:
                 run, seg = self.scan_sweep_class(cid)
