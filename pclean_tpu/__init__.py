@@ -22,5 +22,41 @@ from .dists import *  # noqa: F401,F403
 from .model.builder import ModelBuilder
 from .model.query import ObservedDataset, Query
 
-__all__ = ["ModelBuilder", "Query", "ObservedDataset", "dists", "io", "utils"]
+
+def compile_model(model, datasets, **kw):
+    from .engine.compile import compile_model as _c
+
+    return _c(model, datasets, **kw)
+
+
+def init_state(cm, key):
+    from .engine.compile import init_state as _i
+
+    return _i(cm, key)
+
+
+def __getattr__(name):
+    # heavy engine symbols resolved lazily so `import pclean_tpu` stays light
+    if name == "Engine":
+        from .engine.smc import Engine
+
+        return Engine
+    if name == "InferenceConfig":
+        from .engine.smc import InferenceConfig
+
+        return InferenceConfig
+    if name == "evaluate_accuracy":
+        from .analysis import evaluate_accuracy
+
+        return evaluate_accuracy
+    if name == "save_results":
+        from .analysis import save_results
+
+        return save_results
+    raise AttributeError(name)
+
+
+__all__ = ["ModelBuilder", "Query", "ObservedDataset", "compile_model",
+           "init_state", "Engine", "InferenceConfig", "evaluate_accuracy",
+           "save_results", "dists", "io", "utils"]
 __version__ = "0.1.0"
