@@ -29,6 +29,8 @@ def std_argparser(desc: str) -> argparse.ArgumentParser:
                    help="print one JSON line with metrics")
     p.add_argument("--batch", type=int, default=1,
                    help="rows per device dispatch (blocked-Gibbs batching)")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="save inference state to this .npz before evaluation")
     return p
 
 

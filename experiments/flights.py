@@ -105,6 +105,10 @@ def main():
     jax.block_until_ready(arenas["Obs"]["values"][list(arenas["Obs"]["values"])[0]])
     elapsed = time.time() - t0
 
+    if args.checkpoint:
+        from pclean_tpu.engine.checkpoint import save_checkpoint
+        save_checkpoint(args.checkpoint, cm, arenas, params, key)
+
     results = evaluate_accuracy(cm, arenas, params, dirty, clean, query)
     if args.save:
         save_results(cm, arenas, params, "results", "flights", [ds])
