@@ -14,7 +14,8 @@ from common import dataset_paths, report, std_argparser, truncate
 
 import jax
 
-from pclean_tpu.analysis import evaluate_accuracy, save_results
+from pclean_tpu.analysis import (evaluate_accuracy,
+                                 evaluate_accuracy_device, save_results)
 from pclean_tpu.dists import MaybeSwap, Prob, Ref, StringPrior, TimePrior
 from pclean_tpu.engine.compile import compile_model, init_state
 from pclean_tpu.engine.smc import Engine, InferenceConfig
@@ -109,7 +110,8 @@ def main():
         from pclean_tpu.engine.checkpoint import save_checkpoint
         save_checkpoint(args.checkpoint, cm, arenas, params, key)
 
-    results = evaluate_accuracy(cm, arenas, params, dirty, clean, query)
+    results = evaluate_accuracy_device(cm, arenas, params, dirty, clean,
+                                       query)
     if args.save:
         save_results(cm, arenas, params, "results", "flights", [ds])
     report("flights", results, elapsed, len(dirty["flight"]), sweeps, args.json)

@@ -14,7 +14,8 @@ from common import dataset_paths, report, std_argparser, truncate
 
 import jax
 
-from pclean_tpu.analysis import evaluate_accuracy, save_results
+from pclean_tpu.analysis import (evaluate_accuracy,
+                                 evaluate_accuracy_device, save_results)
 from pclean_tpu.dists import (AddTypos, ChooseProportionally, ChooseUniformly,
                               ParamRef, Proportions, Ref, StringPrior)
 from pclean_tpu.engine.compile import compile_model, init_state
@@ -139,7 +140,8 @@ def main():
         from pclean_tpu.engine.checkpoint import save_checkpoint
         save_checkpoint(args.checkpoint, cm, arenas, params, key)
 
-    results = evaluate_accuracy(cm, arenas, params, dirty, clean, query)
+    results = evaluate_accuracy_device(cm, arenas, params, dirty, clean,
+                                       query)
     if args.save:
         save_results(cm, arenas, params, "results", "hospital", [ds])
     report("hospital", results, elapsed, len(dirty["State"]), sweeps, args.json)

@@ -16,7 +16,8 @@ from common import dataset_paths, report, std_argparser, truncate
 import jax
 import jax.numpy as jnp
 
-from pclean_tpu.analysis import evaluate_accuracy, save_results
+from pclean_tpu.analysis import (evaluate_accuracy,
+                                 evaluate_accuracy_device, save_results)
 from pclean_tpu.dists import (AddTypos, ChooseProportionally, ChooseUniformly,
                               Mean, ParamRef, Proportions, Ref, StringPrior,
                               Transformation, TransformedGaussian, Unmodeled)
@@ -114,7 +115,8 @@ def main():
         from pclean_tpu.engine.checkpoint import save_checkpoint
         save_checkpoint(args.checkpoint, cm, arenas, params, key)
 
-    results = evaluate_accuracy(cm, arenas, params, dirty, clean, query)
+    results = evaluate_accuracy_device(cm, arenas, params, dirty, clean,
+                                       query)
     if args.save:
         save_results(cm, arenas, params, "results", "rents", [ds])
     report("rents", results, elapsed, len(dirty["County"]), sweeps, args.json)

@@ -93,6 +93,100 @@ def evaluate_accuracy(cm: CompiledModel, arenas: dict, params: dict,
                 correctly_imputed=imputed_ok)
 
 
+def evaluate_accuracy_device(cm: CompiledModel, arenas: dict, params: dict,
+                             dirty: dict[str, list], clean: dict[str, list],
+                             query: Query, up_to: Optional[int] = None) -> dict:
+    """evaluate_accuracy with all cell comparisons computed on-device.
+
+    Same counts as the host version (analysis.jl:36-88), but only five
+    scalars per column cross the device boundary — on tunneled backends bulk
+    device->host fetches are both slow and fragile, and this also scales to
+    sharded multi-host state.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n_rows = len(next(iter(dirty.values())))
+    lay = cm.layouts[query.class_id]
+    N = min(n_rows, lay.capacity)
+    row_limit = N if up_to is None else min(up_to, N)
+
+    cols = []
+    for col in clean:
+        if col not in dirty:
+            continue
+        vid = query.cleanmap.get(col)
+        dom = cm.domain(query.class_id, vid) if vid is not None else None
+        is_float = dom is not None and dom.kind == FLOAT
+        dvals, cvals = dirty[col][:N], clean[col][:N]
+        dp = np.array([v is not None and v == v for v in dvals], dtype=bool)
+        cp = np.array([v is not None and v == v for v in cvals], dtype=bool)
+        if is_float:
+            d = np.array([float(v) if p else 0.0 for v, p in zip(dvals, dp)],
+                         dtype=np.float32)
+            c = np.array([float(v) if p else 0.0 for v, p in zip(cvals, cp)],
+                         dtype=np.float32)
+        elif dom is not None:
+            d = np.array([dom.vocab.get(v, -1) if p else -1
+                          for v, p in zip(dvals, dp)], dtype=np.int32)
+            c = np.array([dom.vocab.get(v, -2) if p else -2
+                          for v, p in zip(cvals, cp)], dtype=np.int32)
+        else:
+            # column not queried: only contributes error counts
+            d = np.array([0] * N, dtype=np.int32)
+            eq_dc = np.array([_eq(a, b) for a, b in zip(dvals, cvals)])
+            cols.append((col, None, None, dp, cp, None, None, eq_dc))
+            continue
+        cols.append((col, vid, is_float, dp, cp, d, c, None))
+
+    def counts_fn(arenas, params):
+        out = {}
+        rows_mask = jnp.arange(N) < row_limit
+        for (col, vid, is_float, dp, cp, d, c, eq_dc) in cols:
+            if vid is None:
+                continue
+            ours = row_value(cm, arenas, params, query.class_id, vid,
+                             jnp.arange(N))
+            if is_float:
+                ours = ours.astype(jnp.float32)
+                eq = lambda a, b: jnp.abs(a - b) <= 1e-6 * jnp.maximum(
+                    1.0, jnp.abs(b))
+            else:
+                ours = ours.astype(jnp.int32)
+                eq = lambda a, b: a == b
+            dj, cj = jnp.asarray(d), jnp.asarray(c)
+            dpj, cpj = jnp.asarray(dp), jnp.asarray(cp)
+            err = rows_mask & dpj & ~(eq(dj, cj) & cpj)
+            chg = rows_mask & dpj & ~eq(ours, dj)
+            cln = chg & eq(ours, cj) & cpj
+            imp = rows_mask & ~dpj & cpj
+            imp_ok = imp & eq(ours, cj)
+            out[col] = jnp.stack([err.sum(), chg.sum(), cln.sum(),
+                                  imp.sum(), imp_ok.sum()])
+        return out
+
+    got = jax.jit(counts_fn)(arenas, params)
+    errors = changed = cleaned = imputed = imputed_ok = 0
+    for (col, vid, _isf, dp, cp, _d, _c, eq_dc) in cols:
+        if vid is None:
+            lim = np.arange(N) < row_limit
+            errors += int((lim & dp & ~(eq_dc & cp)).sum())
+            continue
+        e, ch, cl, im, io = [int(x) for x in np.asarray(got[col])]
+        errors += e
+        changed += ch
+        cleaned += cl
+        imputed += im
+        imputed_ok += io
+    precision = (cleaned + imputed_ok) / max(changed + imputed, 1)
+    recall = (cleaned + imputed_ok) / max(errors + imputed, 1)
+    f1 = 0.0 if precision + recall == 0 else \
+        2.0 / (1.0 / max(precision, 1e-12) + 1.0 / max(recall, 1e-12))
+    return dict(f1=f1, errors=errors, changed=changed, cleaned=cleaned,
+                precision=precision, recall=recall, imputed=imputed,
+                correctly_imputed=imputed_ok)
+
+
 def _eq(a: Any, b: Any) -> bool:
     if a is None or b is None:
         return a is None and b is None

@@ -614,6 +614,9 @@ class Engine:
                     key, bulk = jax.random.split(key)
                     seg_keys = jax.random.split(bulk, seg)
                     arenas, params = run(arenas, params, done, seg_keys)
+                    # sync each segment: queueing many multi-second dispatches
+                    # can overwhelm tunneled workers
+                    jax.block_until_ready(arenas[cid]["alive"])
                     done += seg
                     if progress and (done // progress) != ((done - seg) // progress):
                         print(f"Initialized ~{min(done, spec.num_rows)} of "
@@ -677,6 +680,7 @@ class Engine:
                     key, bulk = jax.random.split(key)
                     seg_keys = jax.random.split(bulk, seg)
                     arenas, params = run(arenas, params, done, seg_keys)
+                    jax.block_until_ready(arenas[cid]["alive"])
                     done += seg
                 if progress:
                     print(f"{cid}: sweep done")

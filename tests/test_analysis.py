@@ -68,3 +68,15 @@ def test_save_results_exports(tmp_path):
     assert len(rows) == 1 + len(DIRTY)
     # latent-class export (save_tables, analysis.jl:8-13)
     assert os.path.exists(os.path.join(out, "inferred_Obj.csv"))
+
+
+def test_device_eval_matches_host():
+    cm, q, ds, arenas, params = _fit()
+    from pclean_tpu.analysis import evaluate_accuracy_device
+    dirty = {"name": list(DIRTY)}
+    dirty["name"] = dirty["name"][:]
+    dirty["name"][0] = None
+    clean = {"name": list(CLEAN)}
+    host = evaluate_accuracy(cm, arenas, params, dirty, clean, q)
+    dev = evaluate_accuracy_device(cm, arenas, params, dirty, clean, q)
+    assert host == dev, (host, dev)
