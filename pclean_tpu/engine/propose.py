@@ -386,16 +386,28 @@ class BlockTracer:
             cache[svid] = v
             return v
 
-        terms = self._ext_terms(step, src, ext_value, cache, depth)
+        terms, presummed = self._ext_terms(step, src, ext_value, cache,
+                                           depth, mask, inv)
         masked = jnp.where(mask, terms, 0.0)
-        return jnp.sum(masked, axis=-1)
+        return jnp.sum(masked, axis=-1) + presummed
 
     def _ext_terms(self, step: Step, src: ClassID, ext_value, cache,
-                   depth: int):
+                   depth: int, mask, inv):
+        """Returns (per-referrer terms [.., Cs], pre-summed terms [..]).
+
+        Table-likelihood externals whose only dynamic argument is an overlay
+        value (e.g. AddTypos on an enumerated latent string) are computed as
+        histogram x matrix products: scatter the referrers' observed codes
+        into a [V] histogram, then one matvec against the likelihood matrix.
+        This avoids materializing [option-axis x referrer-capacity]
+        intermediates (at 50k rows and |V|~3k that is half a GB per node)
+        and rides the MXU instead of the VPU.
+        """
         node: ExternalLikelihoodNode = self.node(step.idx)
         ext = node.ext_node
         Cs = self.cm.layouts[src].capacity
         total = jnp.zeros(self._shape(depth) + (Cs,), dtype=jnp.float32)
+        presummed = jnp.zeros(self._shape(depth), dtype=jnp.float32)
         if isinstance(ext, (ComputeNode, ParamLookupNode)):
             # recompute with overlay; deeper externals read it via the cache
             cache[node.ext_id] = None
@@ -418,15 +430,20 @@ class BlockTracer:
             cache[node.ext_id] = v
         elif isinstance(ext, ChoiceNode):
             kern = self.cm.kernels[self.cm.canon(src, node.ext_id)]
-            ctx = _Ctx(self, depth, resolver=ext_value)
-            ov, st = self._ext_obs(src, node.ext_id)
-            if st is None:
-                total = total + kern.obs_logdensity(ctx, ov)
+            hist_term = self._ext_hist_term(kern, ext, src, node.ext_id,
+                                            mask, inv, depth)
+            if hist_term is not None:
+                presummed = presummed + hist_term
             else:
-                obs_t = kern.obs_logdensity(ctx, ov)
-                miss_t = kern.missing_logdensity(ctx) + jnp.zeros_like(obs_t)
-                total = total + jnp.where(st == 1, obs_t,
-                                          jnp.where(st == 2, miss_t, 0.0))
+                ctx = _Ctx(self, depth, resolver=ext_value)
+                ov, st = self._ext_obs(src, node.ext_id)
+                if st is None:
+                    total = total + kern.obs_logdensity(ctx, ov)
+                else:
+                    obs_t = kern.obs_logdensity(ctx, ov)
+                    miss_t = kern.missing_logdensity(ctx) + jnp.zeros_like(obs_t)
+                    total = total + jnp.where(st == 1, obs_t,
+                                              jnp.where(st == 2, miss_t, 0.0))
         elif isinstance(ext, ForeignKeyNode):
             raise NotImplementedError(
                 "external foreign-key likelihoods (DPMem-style) unsupported, "
@@ -434,8 +451,31 @@ class BlockTracer:
         for child in step.rest.steps:
             cn = self.node(child.idx)
             assert isinstance(cn, ExternalLikelihoodNode)
-            total = total + self._ext_terms(child, src, ext_value, cache, depth)
-        return total
+            t2, p2 = self._ext_terms(child, src, ext_value, cache, depth,
+                                     mask, inv)
+            total = total + t2
+            presummed = presummed + p2
+        return total, presummed
+
+    def _ext_hist_term(self, kern, ext: ChoiceNode, src: ClassID,
+                       ext_id: VertexID, mask, inv, depth: int):
+        """Histogram-matmul path for AddTypos externals whose word argument
+        is the overlaid (enumerated) latent value; None when inapplicable."""
+        from .kernels import _AddTyposK
+
+        if not isinstance(kern, _AddTyposK):
+            return None
+        word_sv = ext.arg_ids.get("word")
+        if word_sv is None or word_sv not in inv or inv[word_sv] not in self.env:
+            return None
+        val, st = self._ext_obs(src, ext_id)
+        w = mask if st is None else (mask & (st != 2))
+        V = kern.V
+        hist = jnp.zeros((V,), jnp.float32).at[val].add(
+            jnp.where(w, 1.0, 0.0), mode="drop")
+        termvec = hist @ jnp.asarray(kern.M)  # [V_lat]
+        arg = self.aligned(inv[word_sv], depth)
+        return termvec[arg]
 
     def _ext_obs(self, src: ClassID, svid: VertexID):
         """Observed (value, state) arrays of a source-class vertex over its
