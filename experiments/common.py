@@ -31,6 +31,8 @@ def std_argparser(desc: str) -> argparse.ArgumentParser:
                    help="rows per device dispatch (blocked-Gibbs batching)")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="save inference state to this .npz before evaluation")
+    p.add_argument("--repeat", type=int, default=1,
+                   help="tile the dataset N times (synthetic scaling runs)")
     return p
 
 
@@ -38,6 +40,14 @@ def truncate(data: dict, n) -> dict:
     if n is None:
         return data
     return {k: v[:n] for k, v in data.items()}
+
+
+def tile(data: dict, times: int) -> dict:
+    """Synthetic scaling: repeat the dataset row block N times
+    (BASELINE.md: 'hospital scaled to 100k synthetic rows')."""
+    if times <= 1:
+        return data
+    return {k: list(v) * times for k, v in data.items()}
 
 
 def report(name: str, results: dict, elapsed: float, n_rows: int,

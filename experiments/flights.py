@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import time
 
-from common import dataset_paths, report, std_argparser, truncate
+from common import (dataset_paths, report, std_argparser, tile,
+                    truncate)
 
 import jax
 
@@ -79,6 +80,8 @@ def load(rows=None):
 def main():
     args = std_argparser(__doc__).parse_args()
     dirty, clean = load(args.rows)
+    dirty = tile(dirty, args.repeat)
+    clean = tile(clean, args.repeat)
     websites = unique_values(dirty["src"])
     flight_ids = unique_values(dirty["flight"])
     times_for_flight: dict[str, list] = {}

@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import time
 
-from common import dataset_paths, report, std_argparser, truncate
+from common import (dataset_paths, report, std_argparser, tile,
+                    truncate)
 
 import jax
 
@@ -118,6 +119,8 @@ def load(rows=None):
 def main():
     args = std_argparser(__doc__).parse_args()
     dirty, clean = load(args.rows)
+    dirty = tile(dirty, args.repeat)
+    clean = tile(clean, args.repeat)
     poss = possibilities_from(dirty)
     model = build_model(poss)
     query = Query.build(model, "Record", QUERY_CLAUSES)

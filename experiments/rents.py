@@ -11,7 +11,8 @@ from __future__ import annotations
 
 import time
 
-from common import dataset_paths, report, std_argparser, truncate
+from common import (dataset_paths, report, std_argparser, tile,
+                    truncate)
 
 import jax
 import jax.numpy as jnp
@@ -87,6 +88,8 @@ def load(rows=None):
 def main():
     args = std_argparser(__doc__).parse_args()
     dirty, clean = load(args.rows)
+    dirty = tile(dirty, args.repeat)
+    clean = tile(clean, args.repeat)
     possibilities: dict[str, list] = {}
     for name in dirty["County"]:
         k = county_key(name)
