@@ -26,9 +26,7 @@ with many vmapped particles is handled in parallel/particles.py.
 """
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
-from functools import partial
 from typing import Optional
 
 import jax
@@ -443,66 +441,6 @@ class Engine:
         run = self._aot.wrap(f"scan_sweep_{cid}_{seg}", run)
         self._rejuv_step_fns[ck] = (run, seg)
         return run, seg
-
-    def scan_sweep_all(self):
-        """The ENTIRE rejuvenation sweep (every class, declaration order) as
-        one XLA program — pgibbs_sweep! (inference.jl:60-81) in a single
-        device dispatch."""
-        ck = ("scan_sweep_all",)
-        if ck in self._rejuv_step_fns:
-            return self._rejuv_step_fns[ck]
-        cm = self.cm
-        R = self.config.rejuv_frequency
-        from .gibbs_params import resample_all
-
-        def class_pass(cid, arenas, params, keys):
-            def body(carry, x):
-                arenas, params = carry
-                slot, key = x
-                kp, kr, ka, kq = jax.random.split(key, 4)
-                rel = refresh(cm, arenas, self.obs_dev, exclude_cid=cid,
-                              exclude_slot=slot)
-                env_p, births_p, w_p = self._propose(cid, arenas, rel, params,
-                                                     slot, kp, False)
-                alive = arenas[cid]["alive"][slot] if cm.layouts[cid].observed \
-                    else rel[cid]["alive"][slot]
-                if self.config.exact_gibbs_accept:
-                    accept = alive
-                else:
-                    _er, _br, w_r = self._propose(cid, arenas, rel, params,
-                                                  slot, kr, True)
-                    accept = (jnp.log(jax.random.uniform(ka))
-                              < (w_p - w_r)) & alive
-                arenas = apply_row(cm, cid, arenas, slot, env_p, births_p,
-                                   accept=accept, mark_alive=False)
-                do = ((slot + 1) % R) == 0
-                arenas, params = jax.lax.cond(
-                    do,
-                    lambda c: resample_all(cm, c[0], c[1], self.obs_dev, kq),
-                    lambda c: c,
-                    (arenas, params))
-                return (arenas, params), ()
-
-            cap = cm.layouts[cid].capacity
-            (arenas, params), _ = jax.lax.scan(
-                body, (arenas, params), (jnp.arange(cap), keys))
-            return arenas, params
-
-        total_cap = sum(cm.layouts[c].capacity for c in cm.model.class_order)
-
-        @jax.jit
-        def run(arenas, params, keys):  # keys: [total_cap, 2]
-            off = 0
-            for cid in cm.model.class_order:
-                cap = cm.layouts[cid].capacity
-                arenas, params = class_pass(cid, arenas, params,
-                                            keys[off:off + cap])
-                off += cap
-            return arenas, params
-
-        run = self._aot.wrap("scan_sweep_all", run)
-        self._rejuv_step_fns[ck] = (run, total_cap)
-        return run, total_cap
 
     def scan_sweep_all_batched(self, B: int):
         """Fused sweep with B-row blocked-Gibbs batches vmapped inside the
