@@ -48,18 +48,18 @@ def main():
 
     eng = Engine(cm, InferenceConfig(num_iters=1))
 
-    # ---- warmup: trace + compile every program at its real shapes ----
+    # ---- warmup: load/compile the exact scan programs the run uses ----
     arenas_w, params_w = init_state(cm, jax.random.PRNGKey(99))
-    a = arenas_w
+    a, p = arenas_w, params_w
     for spec in cm.obs_specs:
-        keys = jax.random.split(jax.random.PRNGKey(98), spec.num_rows)
-        a = eng.init_step(spec.class_id)(a, params_w, 0, keys)
+        run, seg = eng.scan_init(spec.class_id, spec.num_rows)
+        keys = jax.random.split(jax.random.PRNGKey(98), seg)
+        a, p = run(a, p, 0, keys)
     for cid in cm.model.class_order:
-        keys = jax.random.split(jax.random.PRNGKey(97),
-                                cm.layouts[cid].capacity)
-        a = eng.rejuv_step(cid)(a, params_w, 0, keys)
-    a, p = eng._resample(a, params_w, jax.random.PRNGKey(96))
-    _ = eng._alive(a)
+        run, seg = eng.scan_sweep_class(cid)
+        keys = jax.random.split(jax.random.PRNGKey(97), seg)
+        a, p = run(a, p, 0, keys)
+    a, p = eng._resample(a, p, jax.random.PRNGKey(96))
     jax.block_until_ready(a[cm.model.class_order[-1]]["alive"])
 
     # ---- timed run (the reference experiment's config) ----
@@ -67,10 +67,11 @@ def main():
     key = jax.random.PRNGKey(1)
     t0 = time.time()
     arenas, params, key = eng.initialize(key, arenas, params)
+    jax.block_until_ready(arenas)
     t_init = time.time() - t0
     t1 = time.time()
     arenas, params, key = eng.run(key, arenas, params)
-    jax.block_until_ready(arenas["Record"]["alive"])
+    jax.block_until_ready(arenas)
     t_sweep = time.time() - t1
     elapsed = time.time() - t0
 

@@ -27,6 +27,7 @@ with many vmapped particles is handled in parallel/particles.py.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Optional
 
 import jax
@@ -180,6 +181,12 @@ class Engine:
         self._alive = jax.jit(
             lambda arenas: {c: refresh(cm, arenas, self.obs_dev)[c]["alive"]
                             for c in cm.model.class_order})
+
+    def _sync_leaf(self, arenas, cid):
+        """An arena array the class's step programs always rewrite."""
+        store = self.cm.layouts[cid].store
+        vid = next(iter(store))
+        return arenas[cid]["values"][vid]
 
     # ------------------------------------------------------------ row steps
 
@@ -552,9 +559,12 @@ class Engine:
                     key, bulk = jax.random.split(key)
                     seg_keys = jax.random.split(bulk, seg)
                     arenas, params = run(arenas, params, done, seg_keys)
-                    # sync each segment: queueing many multi-second dispatches
-                    # can overwhelm tunneled workers
-                    jax.block_until_ready(arenas[cid]["alive"])
+                    # sync each segment on a freshly-written array (an
+                    # identity-aliased output like an unchanged alive mask
+                    # reports ready immediately; a whole-pytree block costs
+                    # one RPC per leaf on tunneled backends); queueing many
+                    # multi-second dispatches can also overwhelm the worker
+                    jax.block_until_ready(self._sync_leaf(arenas, cid))
                     done += seg
                     if progress and (done // progress) != ((done - seg) // progress):
                         print(f"Initialized ~{min(done, spec.num_rows)} of "
@@ -618,7 +628,7 @@ class Engine:
                     key, bulk = jax.random.split(key)
                     seg_keys = jax.random.split(bulk, seg)
                     arenas, params = run(arenas, params, done, seg_keys)
-                    jax.block_until_ready(arenas[cid]["alive"])
+                    jax.block_until_ready(self._sync_leaf(arenas, cid))
                     done += seg
                 if progress:
                     print(f"{cid}: sweep done")
