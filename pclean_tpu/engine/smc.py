@@ -54,9 +54,15 @@ class InferenceConfig:
 
     num_iters: int = 1
     num_particles: int = 2
-    use_dd_proposals: bool = True
     use_mh_instead_of_pg: bool = True
     rejuv_frequency: int = 50
+    # progress-print interval in rows, like inference.jl:50-52; drivers print
+    # when called with progress=True (progress=<int> overrides the interval).
+    # The reference's use_dd_proposals knob is intentionally absent: its
+    # False setting bypasses the compiled enumeration and samples everything
+    # from the prior (block_proposal.jl:168-187) — an ablation no bundled
+    # experiment uses; the dense tracer always runs the data-driven
+    # enumeration (the reference default).
     reporting_frequency: int = 100
     batch_rows: int = 1
     use_scan: bool = True  # fuse whole passes into single lax.scan programs
@@ -527,11 +533,19 @@ class Engine:
 
     # -------------------------------------------------------------- drivers
 
+    def _progress(self, progress):
+        """progress=True -> the config's reporting_frequency
+        (inference.jl:50-52); an int is an explicit row interval."""
+        if progress is True:
+            return self.config.reporting_frequency
+        return progress
+
     def initialize(self, key, arenas, params, progress: Optional[int] = None):
         """initialize_trace (inference.jl:3-57): stream rows, interleave
         parameter rejuvenation."""
         from .gibbs_params import resample_all
 
+        progress = self._progress(progress)
         cfg = self.config
         for spec in self.cm.obs_specs:
             cid = spec.class_id
@@ -601,6 +615,7 @@ class Engine:
         order, every row slot (dead slots no-op via the accept mask)."""
         from .gibbs_params import resample_all
 
+        progress = self._progress(progress)
         cfg = self.config
         if not cfg.use_mh_instead_of_pg and cfg.num_particles > 1:
             from .particles import pg_rejuv_step
@@ -653,8 +668,6 @@ class Engine:
                 print("sweep done (fused, batched)")
             return arenas, params, key
         for cid in self.cm.model.class_order:
-            if False:
-                continue
             step = self.rejuv_step(cid)
             lay = self.cm.layouts[cid]
             if lay.observed:
