@@ -83,6 +83,8 @@ class CompiledModel:
         self.lm: Optional[CharBigramLM] = None
         # device-side constant pools filled in _finalize
         self.consts: dict[str, Any] = {}
+        # set by _audit_exact_gibbs during compile_model
+        self.exact_gibbs_ok: bool = True
 
     # -- helpers -------------------------------------------------------------
 
@@ -136,7 +138,57 @@ def compile_model(model: Model, datasets: Sequence[ObservedDataset],
     _build_kernels(cm)
     _fix_layouts(cm, datasets, capacities or {})
     _collect_param_meta(cm)
+    cm.exact_gibbs_ok = _audit_exact_gibbs(cm)
     return cm
+
+
+def _audit_exact_gibbs(cm: CompiledModel) -> bool:
+    """True iff the dense block proposals are exact Gibbs everywhere, i.e.
+    acceptance ratio identically 1 (see InferenceConfig.exact_gibbs_accept).
+
+    The block weight logZ is deterministic unless a non-enumerable choice's
+    prior draw (taken when the node is unobserved — propose.py score pass,
+    reference block_proposal.jl:56-66) can flow into a scored term. Scored
+    terms are choice-node logdensities (own observations, equality
+    constraints, external referrer likelihoods) and enumeration logits; the
+    Pitman-Yor prior reads no attribute values. So: exactness fails iff some
+    non-enumerable canonical choice X reaches another canonical choice node
+    through the deterministic arg-flow graph (ComputeNode / ParamLookupNode
+    chains and distribution arguments). Conservative for latent-class nodes
+    (whose observedness is data-dependent), never unsound.
+    """
+    readers: dict[tuple, set] = {}
+    for cid in cm.model.class_order:
+        c = cm.cls(cid)
+        for w, node in enumerate(c.nodes):
+            if (cid, w) != cm.canon(cid, w):
+                continue  # submodel/external copies mirror the original's edges
+            if isinstance(node, ComputeNode):
+                args = list(node.arg_ids)
+            elif isinstance(node, ChoiceNode):
+                args = list(node.arg_ids.values())
+            elif isinstance(node, ParamLookupNode):
+                args = [node.key_id] + ([node.gate_id]
+                                        if node.gate_id is not None else [])
+            else:
+                continue
+            for a in args:
+                readers.setdefault(cm.canon(cid, a), set()).add((cid, w))
+    for start, kern in cm.kernels.items():
+        if kern.enumerable:
+            continue
+        # BFS from the non-enumerable choice through deterministic readers
+        seen, frontier = {start}, [start]
+        while frontier:
+            v = frontier.pop()
+            for r in readers.get(v, ()):
+                if r in seen:
+                    continue
+                seen.add(r)
+                if isinstance(cm.node(*r), ChoiceNode):
+                    return False
+                frontier.append(r)
+    return True
 
 
 # ---------------------------------------------------------------------------

@@ -33,11 +33,15 @@ draws with the retained row's stored codes, falling back to the dummy code /
 fresh-row branch like proposal_compiler.jl:98-101,225-232; a retained
 reference to a garbage-collected row re-births it in its old slot.
 
-Known simplification vs the reference: if a *non-enumerable* choice is
-unobserved, descendants that are observed score against the observation
-placeholder instead of a fresh prior draw of the parent (the reference
-samples the parent first, block_proposal.jl:56-60). No bundled workload has
-an observed descendant of an unobserved non-enumerable node.
+Non-enumerable unobserved choices are sampled from their prior DURING the
+score pass (the reference samples the parent before scoring descendants,
+block_proposal.jl:56-66): the draw — one per enclosing enumeration branch,
+via broadcasting — is recorded and the sample pass reuses it, so observed
+descendants' terms enter the enumeration logits at the drawn parent value
+and q = prior cancels p exactly. The resulting block weight logZ is then a
+random variable through those draws, so particle weights genuinely differ;
+compile.exact_gibbs_ok audits whether any such node can influence scored
+terms and the engine drops the exact-Gibbs acceptance shortcut when it can.
 """
 from __future__ import annotations
 
@@ -275,9 +279,18 @@ class BlockTracer:
         ctx = _Ctx(self, depth, remap=self._arg_remap(vid, node))
         ov, st = self.obs_of(vid)
         if not kern.enumerable:
-            # Observed here; sampled post-hoc from the prior when unobserved
-            # (block_proposal.jl:38-66 — proposal equals prior, so q cancels
-            # p and contributes nothing to the weight).
+            # Sample the unobserved case from the prior NOW so observed
+            # descendants score against a concrete draw (the reference
+            # samples the parent before scoring, block_proposal.jl:56-66);
+            # q = prior cancels the node's own p term, so only descendant
+            # terms enter the weight. The draw (one per enclosing
+            # enumeration branch, via broadcasting) is recorded for the
+            # sample pass, which must return the same value the descendants
+            # were scored against.
+            if self.force_retained:
+                drawn = self._forced(vid)
+            else:
+                drawn = kern.sample_prior(ctx, self._score_keys())
             if ov is not None:
                 term = jnp.where(
                     st == 1,
@@ -285,9 +298,13 @@ class BlockTracer:
                     jnp.where(st == 2,
                               self._bcast(kern.missing_logdensity(ctx), depth),
                               0.0))
-                self.env[vid] = (0, ov)
+                val = jnp.where(st == 1, ov, drawn)
             else:
                 term = jnp.zeros(self._shape(depth), dtype=jnp.float32)
+                val = drawn
+            val = jnp.broadcast_to(jnp.asarray(val), self._shape(depth))
+            self.records[("ne", vid, ctx_key)] = val
+            self.env[vid] = (depth, val)
             return term + self.score_plan(step.rest, depth, mode, ctx_key)
         V = kern.V
         enum = jnp.broadcast_to(jnp.asarray(kern.enum_logits(ctx),
@@ -512,10 +529,15 @@ class BlockTracer:
     # enclosing fk actually chose "new" — st.gate tracks that conjunction
 
     def run(self, plan: Plan, key) -> tuple[Any, BlockResult]:
-        """Score then sample one block; returns (logZ, result)."""
+        """Score then sample one block; returns (logZ, result). The score
+        pass consumes keys too: prior draws for unobserved non-enumerable
+        nodes happen during scoring (sample-first order of
+        block_proposal.jl:56-66)."""
         self._root_plan = plan
+        k_score, k_sample = jax.random.split(key)
+        self._score_keys = _KeyStream(k_score)
         logZ = self.score_plan(plan, 0, {}, ())
-        res = self.sample(key)
+        res = self.sample(k_sample)
         return logZ, res
 
     def _forced(self, vid: VertexID):
@@ -572,15 +594,12 @@ class BlockTracer:
         kern = self.kernel(self.cid, vid)
         ov, state_flag = self.obs_of(vid)
         if not kern.enumerable:
-            ctx = _SampleCtx(self, st.env2, remap=self._arg_remap(vid, node))
-            drawn = kern.sample_prior(ctx, self._keys())
-            if self.force_retained:
-                drawn = self._forced(vid)
-            if ov is not None:
-                val = jnp.where(state_flag == 1, ov, drawn)
-            else:
-                val = drawn
-            st.env2[vid] = val
+            # Reuse the score pass's recorded prior draw (already merged
+            # with the observed value) at the chosen ancestor branch, so the
+            # returned row carries exactly the value its weight was scored
+            # with (block_proposal.jl:56-66 sample-then-score order).
+            rec = self.records[("ne", vid, ctx_key)]
+            st.env2[vid] = rec[anc] if anc else rec
             for ch in step.rest.steps:
                 self.sample_step(ch, st, anc, mode, ctx_key)
             return

@@ -77,6 +77,9 @@ class InferenceConfig:
     # likewise 1 there — block_proposal.jl:160-191 telescopes to logZ for
     # both particles). Skipping the retained-particle scoring pass halves
     # rejuvenation cost; set False to force the explicit MH comparison.
+    # compile._audit_exact_gibbs verifies the model property at compile
+    # time; the engine silently falls back to the explicit comparison when
+    # the audit fails (Engine.exact_accept), so True is always safe.
     exact_gibbs_accept: bool = True
 
 
@@ -178,7 +181,13 @@ class Engine:
         from .aot import AotCache
         from .gibbs_params import resample_all
 
-        self._aot = AotCache(cm, extra=f"-r{config.rejuv_frequency}")
+        # exact-Gibbs acceptance is only exact when no non-enumerable
+        # unobserved node's prior draw can reach a scored term — audited at
+        # compile time (compile._audit_exact_gibbs)
+        self.exact_accept = config.exact_gibbs_accept and \
+            getattr(cm, "exact_gibbs_ok", True)
+        self._aot = AotCache(
+            cm, extra=f"-r{config.rejuv_frequency}-e{int(self.exact_accept)}")
         self._resample = jax.jit(
             lambda arenas, params, key: resample_all(cm, arenas, params,
                                                      self.obs_dev, key))
@@ -430,7 +439,7 @@ class Engine:
                                                      slot, kp, False)
                 alive = arenas[cid]["alive"][slot] if cm.layouts[cid].observed \
                     else rel[cid]["alive"][slot]
-                if self.config.exact_gibbs_accept:
+                if self.exact_accept:
                     accept = alive & valid
                 else:
                     _er, _br, w_r = self._propose(cid, arenas, rel, params,
@@ -485,7 +494,7 @@ class Engine:
                     birthy = jnp.zeros((), bool)
                     for b in births:
                         birthy = birthy | b["is_new"]
-                    if self.config.exact_gibbs_accept:
+                    if self.exact_accept:
                         accept = alive
                     else:
                         _er, w_r, _b = self._propose_packed(
