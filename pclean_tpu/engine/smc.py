@@ -70,6 +70,10 @@ class InferenceConfig:
     # backends can kill very long executions) while keeping dispatch count
     # ~N/segment; one compiled program is reused across segments
     scan_segment: int = 512
+    # fuse every class's sweep into one XLA program / one dispatch (one AOT
+    # artifact, minimal warm-start); False falls back to per-class segmented
+    # dispatches (useful if a backend kills long single executions)
+    fuse_sweep: bool = True
     # The dense block proposals enumerate the full joint over each block, so
     # the MH proposal IS the conditional posterior and the acceptance ratio
     # is exactly 1 whenever every weight-bearing node is enumerable or
@@ -154,6 +158,51 @@ def _apply_batch(cm: CompiledModel, cid: ClassID, arenas: dict, slots,
     return out
 
 
+def mh_row_step(eng, cid: ClassID, arenas: dict, rel: dict, params: dict,
+                s, k, valid):
+    """One row's MH rejuvenation decision against a (possibly frozen)
+    relational snapshot: propose fresh, optionally score retained, accept by
+    the MH rule (row_inference.jl:161-163). Shared verbatim by the
+    single-device batched sweeps and the sharded sweeps in parallel/shard.py
+    so their results are bitwise identical given identical inputs.
+
+    Returns (env_p, accept&~birthy, birthy&alive&valid)."""
+    cm = eng.cm
+    kp, kr, ka = jax.random.split(k, 3)
+    env_p, w_p, births = eng._propose_packed(cid, arenas, rel, params, s, kp,
+                                             False)
+    alive = arenas[cid]["alive"][s] if cm.layouts[cid].observed \
+        else rel[cid]["alive"][s]
+    alive = alive & valid
+    birthy = jnp.zeros((), bool)
+    for b in births:
+        birthy = birthy | b["is_new"]
+    if eng.exact_accept:
+        accept = alive
+    else:
+        _er, w_r, _b = eng._propose_packed(cid, arenas, rel, params, s, kr,
+                                           True)
+        accept = (jnp.log(jax.random.uniform(ka)) < (w_p - w_r)) & alive
+    return env_p, accept & ~birthy, birthy & alive
+
+
+def init_row_step(eng, cid: ClassID, arenas: dict, rel: dict, params: dict,
+                  s, k, valid):
+    """One fresh row's SMC-init proposal against a frozen snapshot; rows that
+    would birth latent entities are deferred (returned flagged) so entity
+    creation stays exact under batching. Shared by single-device and sharded
+    batched initialization.
+
+    Returns (env2, ok, birthy)."""
+    env2, _w, births = eng._propose_packed(cid, arenas, rel, params, s, k,
+                                           False)
+    birthy = jnp.zeros((), bool)
+    for b in births:
+        birthy = birthy | b["is_new"]
+    birthy = birthy & valid
+    return env2, valid & ~birthy, birthy
+
+
 def _setup_compilation_cache():
     """Persistent XLA cache: the per-(class, block) programs are identical
     across runs of the same model, so re-runs skip compilation entirely."""
@@ -171,10 +220,21 @@ def _setup_compilation_cache():
 
 
 class Engine:
-    def __init__(self, cm: CompiledModel, config: InferenceConfig):
+    def __init__(self, cm: CompiledModel, config: InferenceConfig, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'data' axis. When present,
+        the batched scan drivers (batch_rows > 1) run row-sharded over the
+        mesh via parallel/shard.py — identical results to the single-device
+        batched path given identical keys (see tests/test_sharded_equiv)."""
         _setup_compilation_cache()
         self.cm = cm
         self.config = config
+        self.sharded = None
+        if mesh is not None:
+            from ..parallel.shard import ShardedEngine
+
+            self.sharded = ShardedEngine(self, mesh)
+            assert config.batch_rows % mesh.shape["data"] == 0, \
+                "batch_rows must be a multiple of the mesh data axis"
         self.obs_dev = _obs_device(cm)
         self._init_step_fns: dict[ClassID, callable] = {}
         self._rejuv_step_fns: dict[ClassID, callable] = {}
@@ -411,6 +471,54 @@ class Engine:
         self._init_step_fns[ck] = (run, seg)
         return run, seg
 
+    def scan_init_batched(self, cid: ClassID, num_rows: int, B: int):
+        """Initialization pass with B-row blocked batches inside ONE scanned
+        XLA program: each batch is proposed in parallel against the carried
+        snapshot (blocked Gibbs, SURVEY.md §7), rows that would birth latent
+        entities are skipped and their flags returned for exact sequential
+        replay. This is the throughput path for scaled configs — per-row
+        relational refresh amortizes over B and the proposal enumerations
+        batch onto the MXU.
+
+        Returns (run(arenas, params, keys[nb*B, 2]) -> (arenas, params,
+        flags[nb*B]), nb)."""
+        nb = (num_rows + B - 1) // B
+        ck = ("scan_init_b", cid, B, num_rows)
+        if ck in self._init_step_fns:
+            return self._init_step_fns[ck]
+        cm = self.cm
+        R = max(1, self.config.rejuv_frequency // B)
+        from .gibbs_params import resample_all
+
+        @jax.jit
+        def run(arenas, params, keys):  # keys: [nb*B, 2]
+            def body(carry, bi):
+                arenas, params = carry
+                slots = bi * B + jnp.arange(B)
+                bkeys = keys[slots]
+                rel = refresh(cm, arenas, self.obs_dev)
+                env2, ok, birthy = jax.vmap(
+                    lambda s, k: init_row_step(self, cid, arenas, rel, params,
+                                               s, k, s < num_rows))(slots, bkeys)
+                arenas = _apply_batch(cm, cid, arenas, slots, env2, ok,
+                                      mark_alive=True)
+                kq = jax.random.fold_in(bkeys[0], 7)
+                do = ((bi + 1) % R) == 0
+                arenas, params = jax.lax.cond(
+                    do,
+                    lambda c: resample_all(cm, c[0], c[1], self.obs_dev, kq),
+                    lambda c: c,
+                    (arenas, params))
+                return (arenas, params), birthy
+
+            (arenas, params), flags = jax.lax.scan(
+                body, (arenas, params), jnp.arange(nb))
+            return arenas, params, flags.reshape(-1)
+
+        run = self._aot.wrap(f"scan_init_b{B}_{cid}_{num_rows}", run)
+        self._init_step_fns[ck] = (run, nb)
+        return run, nb
+
     def scan_sweep_class(self, cid: ClassID):
         """A segment of one class's rejuvenation sweep as one scanned
         program (dead slots no-op through the accept mask, like the
@@ -464,6 +572,74 @@ class Engine:
         self._rejuv_step_fns[ck] = (run, seg)
         return run, seg
 
+    def scan_sweep_all(self):
+        """Every class's sequential rejuvenation sweep fused into ONE XLA
+        program: one AOT artifact + one dispatch per sweep instead of one
+        per (class, segment). Cuts the per-session warm-start floor
+        ~n_classes-fold (round-1 hospital paid 8 program loads per run) and
+        removes per-segment host round-trips. Semantics identical to
+        scan_sweep_class chained over class_order (exclude-refresh per row,
+        rejuvenation cadence folded in as lax.cond).
+
+        Returns (run(arenas, params, keys[total, 2]), total, caps).
+        """
+        ck = ("scan_sweep_all",)
+        if ck in self._rejuv_step_fns:
+            return self._rejuv_step_fns[ck]
+        cm = self.cm
+        R = self.config.rejuv_frequency
+        from .gibbs_params import resample_all
+
+        caps = {cid: cm.layouts[cid].capacity for cid in cm.model.class_order}
+        total = sum(caps.values())
+
+        def class_pass(cid, arenas, params, keys):
+            cap = caps[cid]
+
+            def body(carry, x):
+                arenas, params = carry
+                slot, key = x
+                kp, kr, ka, kq = jax.random.split(key, 4)
+                rel = refresh(cm, arenas, self.obs_dev, exclude_cid=cid,
+                              exclude_slot=slot)
+                env_p, births_p, w_p = self._propose(cid, arenas, rel, params,
+                                                     slot, kp, False)
+                alive = arenas[cid]["alive"][slot] if cm.layouts[cid].observed \
+                    else rel[cid]["alive"][slot]
+                if self.exact_accept:
+                    accept = alive
+                else:
+                    _er, _br, w_r = self._propose(cid, arenas, rel, params,
+                                                  slot, kr, True)
+                    accept = (jnp.log(jax.random.uniform(ka))
+                              < (w_p - w_r)) & alive
+                arenas = apply_row(cm, cid, arenas, slot, env_p, births_p,
+                                   accept=accept, mark_alive=False)
+                do = ((slot + 1) % R) == 0
+                arenas, params = jax.lax.cond(
+                    do,
+                    lambda c: resample_all(cm, c[0], c[1], self.obs_dev, kq),
+                    lambda c: c,
+                    (arenas, params))
+                return (arenas, params), ()
+
+            (arenas, params), _ = jax.lax.scan(
+                body, (arenas, params), (jnp.arange(cap), keys))
+            return arenas, params
+
+        @jax.jit
+        def run(arenas, params, keys):  # keys: [total, 2]
+            off = 0
+            for cid in cm.model.class_order:
+                arenas, params = class_pass(cid, arenas, params,
+                                            keys[off:off + caps[cid]])
+                off += caps[cid]
+            return arenas, params
+
+        run = self._aot.wrap("scan_sweep_all", run)
+        self._rejuv_step_fns[ck] = (run, total, caps)
+        return run, total, caps
+
     def scan_sweep_all_batched(self, B: int):
         """Fused sweep with B-row blocked-Gibbs batches vmapped inside the
         scan: per-op work scales by B while op count stays fixed, which is
@@ -479,31 +655,16 @@ class Engine:
         from .gibbs_params import resample_all
 
         def class_pass(cid, arenas, params, keys, n_batches):
+            cap = cm.layouts[cid].capacity
+
             def body(carry, x):
                 arenas, params = carry
                 bi, bkeys = x  # bkeys: [B, 2]
                 slots = bi * B + jnp.arange(B)
                 rel = refresh(cm, arenas, self.obs_dev)
-
-                def one(s, k):
-                    kp, kr, ka = jax.random.split(k, 3)
-                    env_p, w_p, births = self._propose_packed(
-                        cid, arenas, rel, params, s, kp, False)
-                    alive = arenas[cid]["alive"][s] \
-                        if cm.layouts[cid].observed else rel[cid]["alive"][s]
-                    birthy = jnp.zeros((), bool)
-                    for b in births:
-                        birthy = birthy | b["is_new"]
-                    if self.exact_accept:
-                        accept = alive
-                    else:
-                        _er, w_r, _b = self._propose_packed(
-                            cid, arenas, rel, params, s, kr, True)
-                        accept = (jnp.log(jax.random.uniform(ka))
-                                  < (w_p - w_r)) & alive
-                    return env_p, accept & ~birthy, birthy & alive
-
-                env2, accept, birthy = jax.vmap(one)(slots, bkeys)
+                env2, accept, birthy = jax.vmap(
+                    lambda s, k: mh_row_step(self, cid, arenas, rel, params,
+                                             s, k, s < cap))(slots, bkeys)
                 arenas = _apply_batch(cm, cid, arenas, slots, env2, accept,
                                       mark_alive=False)
                 kq = jax.random.fold_in(bkeys[0], 7)
@@ -593,6 +754,27 @@ class Engine:
                         print(f"Initialized ~{min(done, spec.num_rows)} of "
                               f"{spec.num_rows} rows for {cid}")
                 continue
+            if cfg.use_scan and cfg.batch_rows > 1:
+                B = cfg.batch_rows
+                if self.sharded is not None:
+                    run, nb = self.sharded.scan_init_batched(
+                        cid, spec.num_rows, B)
+                else:
+                    run, nb = self.scan_init_batched(cid, spec.num_rows, B)
+                key, bulk = jax.random.split(key)
+                keys = jax.random.split(bulk, nb * B)
+                arenas, params, flags = run(arenas, params, keys)
+                jax.block_until_ready(self._sync_leaf(arenas, cid))
+                # exact sequential replay of rows that birth latent entities
+                idx = np.flatnonzero(np.asarray(flags)[: spec.num_rows])
+                if idx.size:
+                    step = self.init_step(cid)
+                    for s in idx:
+                        arenas = step(arenas, params, int(s), keys)
+                if progress:
+                    print(f"Initialized {spec.num_rows} rows for {cid} "
+                          f"(batched B={B}, {idx.size} replayed)")
+                continue
             step = self.init_step(cid)
             B = max(1, cfg.batch_rows)
             bstep = self.batch_init_step(cid) if B > 1 else None
@@ -643,6 +825,16 @@ class Engine:
                         key, sub = jax.random.split(key)
                         arenas, params = self._resample(arenas, params, sub)
             return arenas, params, key
+        if cfg.use_scan and cfg.batch_rows <= 1 and cfg.fuse_sweep:
+            run, total, caps = self.scan_sweep_all()
+            key, bulk = jax.random.split(key)
+            keys = jax.random.split(bulk, total)
+            arenas, params = run(arenas, params, keys)
+            jax.block_until_ready(
+                self._sync_leaf(arenas, self.cm.model.class_order[-1]))
+            if progress:
+                print("sweep done (fused)")
+            return arenas, params, key
         if cfg.use_scan and cfg.batch_rows <= 1:
             for cid in self.cm.model.class_order:
                 run, seg = self.scan_sweep_class(cid)
@@ -658,10 +850,16 @@ class Engine:
                     print(f"{cid}: sweep done")
             return arenas, params, key
         if cfg.use_scan and cfg.batch_rows > 1:
-            run, total, caps = self.scan_sweep_all_batched(cfg.batch_rows)
+            if self.sharded is not None:
+                run, total, caps = self.sharded.scan_sweep_all_batched(
+                    cfg.batch_rows)
+            else:
+                run, total, caps = self.scan_sweep_all_batched(cfg.batch_rows)
             key, bulk = jax.random.split(key)
             row_keys = jax.random.split(bulk, total)
             arenas, params, flags = run(arenas, params, row_keys)
+            jax.block_until_ready(self._sync_leaf(
+                arenas, self.cm.model.class_order[-1]))
             # replay rows whose proposals tried to birth latent entities
             for cid in self.cm.model.class_order:
                 fl = np.asarray(flags[cid])

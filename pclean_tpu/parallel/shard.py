@@ -44,25 +44,32 @@ def make_mesh(n_data: int, n_particle: int = 1,
     return Mesh(arr, ("data", "particle"))
 
 
-def _delta_apply(cm: CompiledModel, cid: ClassID, arenas: dict, slots,
-                 env2: dict, ok, mark_alive: bool, axis: str) -> dict:
+def _scatter_apply(cm: CompiledModel, cid: ClassID, arenas: dict, slots,
+                   env2: dict, ok, mark_alive: bool, axis: str) -> dict:
     """Replicated-arena update from sharded per-row results: every shard
-    scatters (new - old) deltas for the rows it owns, then a psum over the
-    data axis reconciles; slot ownership is disjoint so the sum is exact."""
+    scatters the accepted NEW values for the rows it owns into a zeroed
+    buffer, a psum over the data axis reconciles (slot ownership is disjoint
+    so each slot receives exactly one non-zero contribution — adding zeros
+    is exact in floating point, unlike the delta form cur + (new - cur)),
+    and an ownership mask selects between the summed values and the old
+    arena. Bitwise identical to the single-device _apply_batch given
+    identical per-row results."""
     lay = cm.layouts[cid]
+    own_local = jnp.zeros(arenas[cid]["alive"].shape, jnp.int32) \
+        .at[slots].set(ok.astype(jnp.int32), mode="drop")
+    owned = jax.lax.psum(own_local, axis) > 0
     vals = dict(arenas[cid]["values"])
     for vid in lay.store:
         if vid not in env2:
             continue
         cur = vals[vid]
         new = jnp.asarray(env2[vid]).astype(cur.dtype)
-        local = jnp.zeros_like(cur).at[slots].add(
-            jnp.where(ok, new - cur[slots], jnp.zeros_like(new)))
-        vals[vid] = cur + jax.lax.psum(local, axis)
+        contrib = jnp.zeros_like(cur).at[slots].set(
+            jnp.where(ok, new, jnp.zeros_like(new)), mode="drop")
+        vals[vid] = jnp.where(owned, jax.lax.psum(contrib, axis), cur)
     alive = arenas[cid]["alive"]
     if mark_alive:
-        set_local = jnp.zeros_like(alive).at[slots].set(ok)
-        alive = alive | (jax.lax.psum(set_local.astype(jnp.int32), axis) > 0)
+        alive = alive | owned
     out = dict(arenas)
     out[cid] = {"values": vals, "alive": alive}
     return out
@@ -106,26 +113,15 @@ class ShardedEngine:
         eng = self.eng
         cm = self.cm
 
+        from ..engine.smc import mh_row_step
+
         def local(arenas, params, slots, keys):
             rel = refresh(cm, arenas, eng.obs_dev)
-
-            def one(s, k):
-                kp, kr, ka = jax.random.split(k, 3)
-                env_p, w_p, births = eng._propose_packed(
-                    cid, arenas, rel, params, s, kp, False)
-                _e, w_r, _b = eng._propose_packed(
-                    cid, arenas, rel, params, s, kr, True)
-                alive = arenas[cid]["alive"][s] if cm.layouts[cid].observed \
-                    else rel[cid]["alive"][s]
-                accept = (jnp.log(jax.random.uniform(ka)) < (w_p - w_r)) & alive
-                birthy = jnp.zeros((), bool)
-                for b in births:
-                    birthy = birthy | b["is_new"]
-                return env_p, accept & ~birthy, birthy & alive
-
-            env2, accept, birthy = jax.vmap(one)(slots, keys)
-            arenas = _delta_apply(cm, cid, arenas, slots, env2, accept,
-                                  mark_alive=False, axis="data")
+            env2, accept, birthy = jax.vmap(
+                lambda s, k: mh_row_step(eng, cid, arenas, rel, params, s, k,
+                                         jnp.asarray(True)))(slots, keys)
+            arenas = _scatter_apply(cm, cid, arenas, slots, env2, accept,
+                                    mark_alive=False, axis="data")
             return arenas, birthy
 
         smapped = jax.jit(jax.shard_map(
@@ -140,6 +136,150 @@ class ShardedEngine:
 
         self._fns[key] = wrapped
         return wrapped
+
+    # -- fused scan drivers (row-sharded counterparts of Engine.scan_*) -----
+
+    def scan_init_batched(self, cid: ClassID, num_rows: int, B: int):
+        """Row-sharded twin of Engine.scan_init_batched: one scanned XLA
+        program over row batches, each batch split across the mesh 'data'
+        axis (B = n_data * B_local rows per step), arenas replicated and
+        psum-scatter-reconciled after every batch. Key derivation and
+        per-row math are shared with the single-device path (init_row_step),
+        so results are identical given identical keys.
+
+        Returns (run(arenas, params, keys[nb*B, 2]) -> (arenas, params,
+        flags[nb*B]), nb)."""
+        key = ("scan_init_b", cid, B, num_rows)
+        if key in self._fns:
+            return self._fns[key]
+        eng = self.eng
+        cm = self.cm
+        nd = self.mesh.shape["data"]
+        assert B % nd == 0, "batch_rows must divide over the data axis"
+        Bl = B // nd
+        nb = (num_rows + B - 1) // B
+        R = max(1, eng.config.rejuv_frequency // B)
+        from ..engine.gibbs_params import resample_all
+        from ..engine.smc import init_row_step
+
+        def local(arenas, params, keys):  # all replicated in-shard
+            me = jax.lax.axis_index("data")
+
+            def body(carry, bi):
+                arenas, params = carry
+                ls = bi * B + me * Bl + jnp.arange(Bl)
+                bkeys = keys[ls]
+                rel = refresh(cm, arenas, eng.obs_dev)
+                env2, ok, birthy = jax.vmap(
+                    lambda s, k: init_row_step(eng, cid, arenas, rel, params,
+                                               s, k, s < num_rows))(ls, bkeys)
+                arenas = _scatter_apply(cm, cid, arenas, ls, env2, ok,
+                                        mark_alive=True, axis="data")
+                kq = jax.random.fold_in(keys[bi * B], 7)
+                do = ((bi + 1) % R) == 0
+                arenas, params = jax.lax.cond(
+                    do,
+                    lambda c: resample_all(cm, c[0], c[1], eng.obs_dev, kq),
+                    lambda c: c,
+                    (arenas, params))
+                return (arenas, params), birthy
+
+            (arenas, params), flags = jax.lax.scan(
+                body, (arenas, params), jnp.arange(nb))
+            return arenas, params, flags  # [nb, Bl] per shard
+
+        smapped = jax.jit(jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=(P(), P(), P(None, "data"))))
+
+        def wrapped(arenas, params, keys):
+            arenas, params, keys = self._place(arenas, params,
+                                               ((keys, P()),))
+            arenas, params, flags = smapped(arenas, params, keys)
+            return arenas, params, flags.reshape(-1)
+
+        self._fns[key] = (wrapped, nb)
+        return wrapped, nb
+
+    def scan_sweep_all_batched(self, B: int):
+        """Row-sharded twin of Engine.scan_sweep_all_batched: every class's
+        batched rejuvenation sweep fused into one shard_mapped program; each
+        B-row batch splits across the 'data' axis, proposals run locally
+        against the replicated carry, and psum-scatter reconciliation plus a
+        shared parameter-rejuvenation key keep every shard's arenas bitwise
+        identical to the single-device batched sweep given identical keys
+        (tests/test_sharded_equiv.py).
+
+        Returns (run(arenas, params, keys[total, 2]) -> (arenas, params,
+        flags{cid: [cap_padded]}), total, caps)."""
+        key = ("scan_sweep_all_b", B)
+        if key in self._fns:
+            return self._fns[key]
+        eng = self.eng
+        cm = self.cm
+        nd = self.mesh.shape["data"]
+        assert B % nd == 0, "batch_rows must divide over the data axis"
+        Bl = B // nd
+        R = max(1, eng.config.rejuv_frequency // B)
+        from ..engine.gibbs_params import resample_all
+        from ..engine.smc import mh_row_step
+
+        caps = {cid: ((cm.layouts[cid].capacity + B - 1) // B) * B
+                for cid in cm.model.class_order}
+        total = sum(caps.values())
+
+        def class_pass(cid, arenas, params, keys_c, me):
+            nb = caps[cid] // B
+            cap = cm.layouts[cid].capacity
+
+            def body(carry, bi):
+                arenas, params = carry
+                ls = bi * B + me * Bl + jnp.arange(Bl)
+                bkeys = keys_c[ls]
+                rel = refresh(cm, arenas, eng.obs_dev)
+                env2, accept, birthy = jax.vmap(
+                    lambda s, k: mh_row_step(eng, cid, arenas, rel, params,
+                                             s, k, s < cap))(ls, bkeys)
+                arenas = _scatter_apply(cm, cid, arenas, ls, env2, accept,
+                                        mark_alive=False, axis="data")
+                kq = jax.random.fold_in(keys_c[bi * B], 7)
+                do = ((bi + 1) % R) == 0
+                arenas, params = jax.lax.cond(
+                    do,
+                    lambda c: resample_all(cm, c[0], c[1], eng.obs_dev, kq),
+                    lambda c: c,
+                    (arenas, params))
+                return (arenas, params), birthy
+
+            (arenas, params), flags = jax.lax.scan(
+                body, (arenas, params), jnp.arange(nb))
+            return arenas, params, flags  # [nb, Bl]
+
+        def local(arenas, params, keys):
+            me = jax.lax.axis_index("data")
+            off = 0
+            flags = {}
+            for cid in cm.model.class_order:
+                arenas, params, fl = class_pass(
+                    cid, arenas, params, keys[off:off + caps[cid]], me)
+                flags[cid] = fl
+                off += caps[cid]
+            return arenas, params, flags
+
+        smapped = jax.jit(jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=(P(), P(), P(None, "data"))))
+
+        def wrapped(arenas, params, keys):
+            arenas, params, keys = self._place(arenas, params,
+                                               ((keys, P()),))
+            arenas, params, flags = smapped(arenas, params, keys)
+            return arenas, params, {c: f.reshape(-1) for c, f in flags.items()}
+
+        self._fns[key] = (wrapped, total, caps)
+        return wrapped, total, caps
 
     # -- data x particle parallel SMC initialization ------------------------
 
@@ -194,7 +334,7 @@ class ShardedEngine:
                 return env_sel, b_sel
 
             env2, birthy = jax.vmap(one_row)(slots, keys, sel_keys)
-            arenas = _delta_apply(cm, cid, arenas, slots, env2, ~birthy,
+            arenas = _scatter_apply(cm, cid, arenas, slots, env2, ~birthy,
                                   mark_alive=True, axis="data")
             return arenas, birthy
 
