@@ -50,6 +50,10 @@ class DistKernel:
     supports_missing = False
     V: Optional[int] = None  # domain size for categorical-valued nodes
     dummy_code: Optional[int] = None
+    # False for kernels whose sample_prior is deterministic (modal) — the
+    # tracer then skips the per-node PRNG split, which matters inside
+    # sequential scans where key threading is serial latency
+    prior_needs_key = True
 
     def enum_logits(self, ctx):  # -> [*, V]
         raise NotImplementedError
@@ -292,6 +296,8 @@ class _AddTyposK(DistKernel):
 
     def missing_logdensity(self, ctx):
         return 0.0  # add_typos.jl:51-53
+
+    prior_needs_key = False
 
     def sample_prior(self, ctx, key):
         # Modal (zero-typo) outcome; the reference's generative typo process
@@ -588,6 +594,8 @@ class _FormatNameK(DistKernel):
             return jnp.asarray(self.miss)[ctx.value(self.node.arg_ids["name0"])]
         return 0.0
 
+    prior_needs_key = False
+
     def sample_prior(self, ctx, key):
         return ctx.value(self.node.arg_ids["name0"])
 
@@ -604,6 +612,8 @@ class _NumberCodeK(DistKernel):
             sv = -np.log(vals)
         self.score = np.where(np.isnan(sv), NINF, sv).astype(np.float32)
 
+    prior_needs_key = False
+
     def obs_logdensity(self, ctx, obs):
         return jnp.asarray(self.score)[obs]
 
@@ -615,6 +625,7 @@ class _UnmodeledK(DistKernel):
     """unmodeled.jl: logdensity 0 for anything."""
 
     supports_missing = True
+    prior_needs_key = False
 
     def __init__(self, cm, cid, vid, node):
         dom = cm.domain(cid, vid)

@@ -62,6 +62,13 @@ from .compile import CompiledModel
 NINF = float(NEG_INF)
 
 
+def _static_obs(st) -> bool:
+    """True when the obs state is the *static* Python int 1 — the column is
+    observed in every dataset row (Engine._obs_row_slices) — so the tracer
+    can drop the unobserved/missing branches at trace time."""
+    return isinstance(st, int) and st == 1
+
+
 @dataclass
 class Birth:
     fk_vid: VertexID  # vertex (in the proposing class) whose fk birthed
@@ -278,6 +285,15 @@ class BlockTracer:
         kern = self.kernel(self.cid, vid)
         ctx = _Ctx(self, depth, remap=self._arg_remap(vid, node))
         ov, st = self.obs_of(vid)
+        if _static_obs(st):
+            # Column observed in every dataset row (static fact): the value
+            # IS ov — no prior draw, no enumeration axis, no key. Score just
+            # the observation term and pin the environment.
+            term = self._bcast(kern.obs_logdensity(ctx, ov), depth)
+            val = jnp.broadcast_to(jnp.asarray(ov), self._shape(depth))
+            self.records[("so", vid, ctx_key)] = val
+            self.env[vid] = (depth, val)
+            return term + self.score_plan(step.rest, depth, mode, ctx_key)
         if not kern.enumerable:
             # Sample the unobserved case from the prior NOW so observed
             # descendants score against a concrete draw (the reference
@@ -290,7 +306,8 @@ class BlockTracer:
             if self.force_retained:
                 drawn = self._forced(vid)
             else:
-                drawn = kern.sample_prior(ctx, self._score_keys())
+                drawn = kern.sample_prior(
+                    ctx, self._score_keys() if kern.prior_needs_key else None)
             if ov is not None:
                 term = jnp.where(
                     st == 1,
@@ -593,6 +610,12 @@ class BlockTracer:
                       ctx_key: tuple):
         kern = self.kernel(self.cid, vid)
         ov, state_flag = self.obs_of(vid)
+        if _static_obs(state_flag):
+            rec = self.records[("so", vid, ctx_key)]
+            st.env2[vid] = rec[anc] if anc else rec
+            for ch in step.rest.steps:
+                self.sample_step(ch, st, anc, mode, ctx_key)
+            return
         if not kern.enumerable:
             # Reuse the score pass's recorded prior draw (already merged
             # with the observed value) at the chosen ancestor branch, so the
@@ -725,11 +748,19 @@ class _SampleState:
 
 
 class _KeyStream:
+    """Counter-based key derivation. fold_in(base, i) makes every derived
+    key depend only on the base key, so the ~dozens of per-block keys lower
+    as independent ops instead of a serial split chain — the chain was pure
+    latency on the critical path of the sequential row scan. The counter is
+    a Python int consumed at trace time, so it is static."""
+
     def __init__(self, key):
         self.key = key
+        self.i = 0
 
     def __call__(self):
-        self.key, sub = jax.random.split(self.key)
+        sub = jax.random.fold_in(self.key, self.i)
+        self.i += 1
         return sub
 
 

@@ -273,7 +273,12 @@ class Engine:
         cols = self.obs_dev.get(cid)
         if cols is not None:
             for vid, (codes, state) in cols.items():
-                out[vid] = (jnp.asarray(codes)[slot], jnp.asarray(state)[slot])
+                # a column observed in EVERY dataset row gets the static
+                # Python state 1: the tracer then skips the unobserved
+                # branch entirely (no prior draw, no enumeration axis, no
+                # PRNG key) — a pure op-count win for fully-observed data
+                st = 1 if bool(np.all(state == 1)) else jnp.asarray(state)[slot]
+                out[vid] = (jnp.asarray(codes)[slot], st)
         for vid, (code, cnt) in rel[cid]["prop"].items():
             out[vid] = (code[slot], (cnt[slot] > 0).astype(jnp.int8))
         return out
