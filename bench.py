@@ -38,6 +38,7 @@ def main():
     from pclean_tpu.engine.smc import Engine, InferenceConfig
     from pclean_tpu.io import possibilities_from
     from pclean_tpu.model.query import ObservedDataset, Query
+    from pclean_tpu.utils import device_sync
 
     dirty, clean = load()
     poss = possibilities_from(dirty)
@@ -60,18 +61,18 @@ def main():
         keys = jax.random.split(jax.random.PRNGKey(97), seg)
         a, p = run(a, p, 0, keys)
     a, p = eng._resample(a, p, jax.random.PRNGKey(96))
-    jax.block_until_ready(a[cm.model.class_order[-1]]["alive"])
+    device_sync(a)
 
     # ---- timed run (the reference experiment's config) ----
     arenas, params = init_state(cm, jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(1)
     t0 = time.time()
     arenas, params, key = eng.initialize(key, arenas, params)
-    jax.block_until_ready(arenas)
+    device_sync(arenas)
     t_init = time.time() - t0
     t1 = time.time()
     arenas, params, key = eng.run(key, arenas, params)
-    jax.block_until_ready(arenas)
+    device_sync(arenas)
     t_sweep = time.time() - t1
     elapsed = time.time() - t0
 

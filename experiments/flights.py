@@ -15,6 +15,7 @@ from common import (dataset_paths, report, std_argparser, tile,
 
 import jax
 
+from pclean_tpu.utils import device_sync
 from pclean_tpu.analysis import (evaluate_accuracy,
                                  evaluate_accuracy_device, save_results)
 from pclean_tpu.dists import MaybeSwap, Prob, Ref, StringPrior, TimePrior
@@ -106,7 +107,7 @@ def main():
     key = jax.random.PRNGKey(args.seed + 1)
     arenas, params, key = eng.initialize(key, arenas, params, progress=500)
     arenas, params, key = eng.run(key, arenas, params, progress=1000)
-    jax.block_until_ready(arenas["Obs"]["values"][list(arenas["Obs"]["values"])[0]])
+    device_sync(arenas["Obs"]["values"])
     elapsed = time.time() - t0
 
     if args.checkpoint:

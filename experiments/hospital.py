@@ -15,6 +15,7 @@ from common import (dataset_paths, report, std_argparser, tile,
 
 import jax
 
+from pclean_tpu.utils import device_sync
 from pclean_tpu.analysis import (evaluate_accuracy,
                                  evaluate_accuracy_device, save_results)
 from pclean_tpu.dists import (AddTypos, ChooseProportionally, ChooseUniformly,
@@ -136,7 +137,7 @@ def main():
     key = jax.random.PRNGKey(args.seed + 1)
     arenas, params, key = eng.initialize(key, arenas, params, progress=100)
     arenas, params, key = eng.run(key, arenas, params, progress=100)
-    jax.block_until_ready(arenas["Record"]["values"][0])
+    device_sync(arenas["Record"]["values"])
     elapsed = time.time() - t0
 
     if args.checkpoint:

@@ -17,6 +17,7 @@ from common import (dataset_paths, report, std_argparser, tile,
 import jax
 import jax.numpy as jnp
 
+from pclean_tpu.utils import device_sync
 from pclean_tpu.analysis import (evaluate_accuracy,
                                  evaluate_accuracy_device, save_results)
 from pclean_tpu.dists import (AddTypos, ChooseProportionally, ChooseUniformly,
@@ -111,7 +112,7 @@ def main():
     key = jax.random.PRNGKey(args.seed + 1)
     arenas, params, key = eng.initialize(key, arenas, params, progress=1000)
     arenas, params, key = eng.run(key, arenas, params, progress=2000)
-    jax.block_until_ready(arenas["Obs"]["values"][list(arenas["Obs"]["values"])[0]])
+    device_sync(arenas["Obs"]["values"])
     elapsed = time.time() - t0
 
     if args.checkpoint:

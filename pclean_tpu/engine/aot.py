@@ -14,6 +14,7 @@ from __future__ import annotations
 import glob
 import hashlib
 import os
+import re
 from typing import Any, Callable, Optional
 
 import jax
@@ -38,12 +39,60 @@ def _source_hash() -> str:
     return _src_hash_cache
 
 
+def _stable_repr(o, depth: int = 0) -> str:
+    """Deterministic-across-processes repr: the default repr of functions
+    (and anything else falling back to object.__repr__) embeds the object's
+    memory address, which changes every process — a fingerprint built on it
+    never matches, silently turning the AOT cache into a per-process cache
+    that re-traces and recompiles everything (the round-1 warm-start floor).
+    Functions hash by code object + closure contents instead."""
+    if depth > 12:
+        return "..."
+    if callable(o) and hasattr(o, "__code__"):
+        code = o.__code__
+        h = hashlib.sha256(code.co_code)
+        for c in code.co_consts:
+            if isinstance(c, (str, bytes, int, float, bool, type(None))):
+                h.update(repr(c).encode())
+        if o.__closure__:
+            for cell in o.__closure__:
+                try:
+                    h.update(_stable_repr(cell.cell_contents,
+                                          depth + 1).encode("utf-8", "ignore"))
+                except ValueError:
+                    h.update(b"<empty-cell>")
+        return (f"fn:{os.path.basename(code.co_filename)}:"
+                f"{code.co_firstlineno}:{h.hexdigest()[:12]}")
+    if isinstance(o, dict):
+        try:
+            items = sorted(o.items())
+        except TypeError:
+            items = list(o.items())
+        return "{" + ",".join(f"{_stable_repr(k, depth + 1)}:"
+                              f"{_stable_repr(v, depth + 1)}"
+                              for k, v in items) + "}"
+    if isinstance(o, (list, tuple, set, frozenset)):
+        body = ",".join(_stable_repr(x, depth + 1) for x in o)
+        return f"{type(o).__name__}({body})"
+    if isinstance(o, np.ndarray):
+        return f"nd{o.shape}{o.dtype}:" + hashlib.sha256(
+            np.ascontiguousarray(o).tobytes()).hexdigest()[:12]
+    if isinstance(o, (str, bytes, int, float, bool, type(None))):
+        return repr(o)
+    # objects (dist specs, Ref/ParamRef, ...): type + attribute dict
+    d = getattr(o, "__dict__", None)
+    if d is not None:
+        return f"{type(o).__name__}({_stable_repr(d, depth + 1)})"
+    return re.sub(r"0x[0-9a-f]+", "0x~", repr(o))
+
+
 def fingerprint(cm) -> str:
     """Fingerprint of the compiled model: structure + interned data.
 
     Any input that shapes the traced programs must contribute: graph/node
     structure, domain contents, dense tables, observation arrays,
-    capacities.
+    capacities. Everything feeding the hash must be process-stable (see
+    _stable_repr).
     """
     h = hashlib.sha256()
     h.update(_source_hash().encode())
@@ -51,14 +100,17 @@ def fingerprint(cm) -> str:
         c = cm.cls(cid)
         h.update(cid.encode())
         for n in c.nodes:
-            h.update(repr(type(n).__name__).encode())
-            h.update(repr(sorted(vars(n).items(), key=lambda kv: kv[0],
-                                 ))[:2000].encode("utf-8", "ignore"))
+            h.update(type(n).__name__.encode())
+            h.update(_stable_repr(
+                sorted(vars(n).items())).encode("utf-8", "ignore"))
         h.update(repr(c.blocks).encode())
         h.update(repr(c.hash_keys).encode())
     for key in sorted(cm.tables):
         h.update(repr(key).encode())
         h.update(cm.tables[key].tobytes())
+    for key in sorted(cm.list_reg):
+        h.update(repr(key).encode())
+        h.update(repr(cm.list_reg[key]._lists).encode())
     for (cid, vid), dom in sorted(cm.domains.items()):
         h.update(f"{cid}:{vid}".encode())
         if dom is not None and dom.vocab is not None:

@@ -50,6 +50,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..domains import FLOAT
 from ..model.ir import (ChoiceNode, ClassID, ComputeNode,
@@ -465,7 +466,7 @@ class BlockTracer:
         elif isinstance(ext, ChoiceNode):
             kern = self.cm.kernels[self.cm.canon(src, node.ext_id)]
             hist_term = self._ext_hist_term(kern, ext, src, node.ext_id,
-                                            mask, inv, depth)
+                                            mask, inv, depth, ext_value)
             if hist_term is not None:
                 presummed = presummed + hist_term
             else:
@@ -491,25 +492,88 @@ class BlockTracer:
             presummed = presummed + p2
         return total, presummed
 
+    # composed-table SA tensors can get big; above this cell count fall back
+    # to the dense per-referrer gather
+    _SA_MAX_CELLS = 16_000_000
+
     def _ext_hist_term(self, kern, ext: ChoiceNode, src: ClassID,
-                       ext_id: VertexID, mask, inv, depth: int):
-        """Histogram-matmul path for AddTypos externals whose word argument
-        is the overlaid (enumerated) latent value; None when inapplicable."""
+                       ext_id: VertexID, mask, inv, depth: int, ext_value):
+        """Histogram-matmul path for AddTypos externals: the per-referrer sum
+        Σ_r M[obs_r, word_r] collapses to a histogram (scatter) times the
+        likelihood matrix (one MXU matvec) whenever `word` is a function of
+        the overlaid enumeration axes and at most one per-referrer value.
+
+        Covered cases (None when inapplicable → dense per-referrer gather):
+          * word IS the overlaid latent value (e.g. AddTypos on an enumerated
+            string attribute): 1-D obs histogram @ M, gather by word axis.
+          * word = table[latent, referrer_value] (e.g. hospital's
+            stateavg = f(state, measure code), run.jl:54-56): precompute
+            SA[a, c, o] = M[o, tbl[a, c]] once at trace time, scatter the
+            (referrer_value, obs) pairs into a 2-D histogram, and contract
+            SA·H on the MXU — this removes the [option-axes × referrer-
+            capacity] gather that dominated the latent-class sweep.
+        """
         from .kernels import _AddTyposK
 
         if not isinstance(kern, _AddTyposK):
             return None
         word_sv = ext.arg_ids.get("word")
-        if word_sv is None or word_sv not in inv or inv[word_sv] not in self.env:
+        if word_sv is None:
             return None
         val, st = self._ext_obs(src, ext_id)
         w = mask if st is None else (mask & (st != 2))
         V = kern.V
-        hist = jnp.zeros((V,), jnp.float32).at[val].add(
-            jnp.where(w, 1.0, 0.0), mode="drop")
-        termvec = hist @ jnp.asarray(kern.M)  # [V_lat]
-        arg = self.aligned(inv[word_sv], depth)
-        return termvec[arg]
+        if word_sv in inv and inv[word_sv] in self.env:
+            hist = jnp.zeros((V,), jnp.float32).at[val].add(
+                jnp.where(w, 1.0, 0.0), mode="drop")
+            termvec = hist @ jnp.asarray(kern.M)  # [V_lat]
+            arg = self.aligned(inv[word_sv], depth)
+            return termvec[arg]
+        # composed case: word is a table ComputeNode over env-aligned +
+        # (at most one) per-referrer arguments
+        snode = self.cm.node(src, word_sv)
+        if not (isinstance(snode, ComputeNode) and snode.kind == "table"):
+            return None
+        env_args, ref_args = [], []
+        for a in snode.arg_ids:
+            if a in inv and inv[a] in self.env:
+                env_args.append(a)
+            else:
+                ref_args.append(a)
+        if not env_args or len(ref_args) > 1:
+            return None
+        tbl = self.cm.tables.get(self.cm.canon(src, word_sv))
+        if tbl is None or tbl.size * V > self._SA_MAX_CELLS:
+            return None
+        # reorder table axes to (env..., ref?) to match the contraction
+        order = [snode.arg_ids.index(a) for a in env_args + ref_args]
+        cache_key = ("sa", self.cm.canon(src, word_sv),
+                     self.cm.canon(src, ext_id), tuple(order))
+        sa_cache = self.cm.__dict__.setdefault("_ext_sa_cache", {})
+        SA = sa_cache.get(cache_key)
+        if SA is None:
+            # SA[env..., ref?, o] = M[o, tbl[env..., ref?]]
+            SA = np.ascontiguousarray(
+                np.asarray(kern.M).T[np.transpose(tbl, order)])
+            sa_cache[cache_key] = SA
+        env_idx = [self.aligned(inv[a], depth) for a in env_args]
+        if ref_args:
+            rv = ext_value(ref_args[0])
+            if getattr(rv, "ndim", None) != 1:
+                return None  # overlay-dependent or scalar: dense path
+            Vc = tbl.shape[snode.arg_ids.index(ref_args[0])]
+            H = jnp.zeros((Vc, V), jnp.float32).at[rv, val].add(
+                jnp.where(w, 1.0, 0.0), mode="drop")
+            ne = len(env_args)
+            termvec = jnp.reshape(jnp.asarray(SA), SA.shape[:ne] + (-1,)) \
+                @ jnp.ravel(H)  # [Venv...]
+        else:
+            hist = jnp.zeros((V,), jnp.float32).at[val].add(
+                jnp.where(w, 1.0, 0.0), mode="drop")
+            termvec = jnp.reshape(jnp.asarray(SA), SA.shape[:-1] + (-1,)) \
+                .reshape((-1, V)) @ hist
+            termvec = jnp.reshape(termvec, SA.shape[:len(env_args)])
+        return termvec[tuple(env_idx)]
 
     def _ext_obs(self, src: ClassID, svid: VertexID):
         """Observed (value, state) arrays of a source-class vertex over its

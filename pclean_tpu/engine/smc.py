@@ -263,6 +263,14 @@ class Engine:
         vid = next(iter(store))
         return arenas[cid]["values"][vid]
 
+    def _sync(self, arenas, cid):
+        """True execution barrier on the class's step outputs (utils.
+        device_sync rationale: block_until_ready is unreliable on tunneled
+        PJRT backends; a scalar fetch of a derived reduction is not)."""
+        from ..utils import device_sync
+
+        device_sync(self._sync_leaf(arenas, cid))
+
     # ------------------------------------------------------------ row steps
 
     def _obs_row_slices(self, cid: ClassID, slot, rel):
@@ -753,7 +761,7 @@ class Engine:
                     # reports ready immediately; a whole-pytree block costs
                     # one RPC per leaf on tunneled backends); queueing many
                     # multi-second dispatches can also overwhelm the worker
-                    jax.block_until_ready(self._sync_leaf(arenas, cid))
+                    self._sync(arenas, cid)
                     done += seg
                     if progress and (done // progress) != ((done - seg) // progress):
                         print(f"Initialized ~{min(done, spec.num_rows)} of "
@@ -769,7 +777,7 @@ class Engine:
                 key, bulk = jax.random.split(key)
                 keys = jax.random.split(bulk, nb * B)
                 arenas, params, flags = run(arenas, params, keys)
-                jax.block_until_ready(self._sync_leaf(arenas, cid))
+                self._sync(arenas, cid)
                 # exact sequential replay of rows that birth latent entities
                 idx = np.flatnonzero(np.asarray(flags)[: spec.num_rows])
                 if idx.size:
@@ -835,8 +843,7 @@ class Engine:
             key, bulk = jax.random.split(key)
             keys = jax.random.split(bulk, total)
             arenas, params = run(arenas, params, keys)
-            jax.block_until_ready(
-                self._sync_leaf(arenas, self.cm.model.class_order[-1]))
+            self._sync(arenas, self.cm.model.class_order[-1])
             if progress:
                 print("sweep done (fused)")
             return arenas, params, key
@@ -849,7 +856,7 @@ class Engine:
                     key, bulk = jax.random.split(key)
                     seg_keys = jax.random.split(bulk, seg)
                     arenas, params = run(arenas, params, done, seg_keys)
-                    jax.block_until_ready(self._sync_leaf(arenas, cid))
+                    self._sync(arenas, cid)
                     done += seg
                 if progress:
                     print(f"{cid}: sweep done")
@@ -863,8 +870,7 @@ class Engine:
             key, bulk = jax.random.split(key)
             row_keys = jax.random.split(bulk, total)
             arenas, params, flags = run(arenas, params, row_keys)
-            jax.block_until_ready(self._sync_leaf(
-                arenas, self.cm.model.class_order[-1]))
+            self._sync(arenas, self.cm.model.class_order[-1])
             # replay rows whose proposals tried to birth latent entities
             for cid in self.cm.model.class_order:
                 fl = np.asarray(flags[cid])

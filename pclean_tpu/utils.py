@@ -61,3 +61,24 @@ def categorical_from_logits(key: jax.Array, logits: jax.Array, axis=-1, where=No
 def effective_sample_size(log_normalized_weights: jax.Array) -> jax.Array:
     """ESS of normalized log weights (reference row_inference.jl:82-85)."""
     return jnp.exp(-logsumexp(2.0 * log_normalized_weights))
+
+
+def device_sync(tree) -> None:
+    """True execution barrier: fetch a scalar *derived from* the outputs.
+
+    `jax.block_until_ready` on an output buffer is not a reliable barrier on
+    tunneled PJRT backends — an output that the runtime aliases to an input
+    (or whose ready-event polling is broken) reports ready while the program
+    is still running, which silently turns timing code into an async
+    enqueue measurement. Data-dependent execution order IS correct on those
+    backends, so fetching the value of a cheap reduction over one leaf
+    forces completion of the producing program.
+    """
+    leaves = [x for x in jax.tree_util.tree_leaves(tree)
+              if hasattr(x, "astype")]
+    if not leaves:
+        return
+    acc = jnp.zeros((), jnp.float32)
+    for x in leaves:
+        acc = acc + jnp.sum(x.astype(jnp.float32))
+    jax.device_get(acc)
