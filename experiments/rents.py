@@ -86,11 +86,12 @@ def load(rows=None):
     return dirty, clean
 
 
-def main():
-    args = std_argparser(__doc__).parse_args()
-    dirty, clean = load(args.rows)
-    dirty = tile(dirty, args.repeat)
-    clean = tile(clean, args.repeat)
+def setup(rows=None, repeat=1, sweeps=None, batch=1, **cfg):
+    """Compiled workload (shared by main() and bench.py): returns
+    (cm, config, dirty, clean, query, sweeps); observed class 'Obs'."""
+    dirty, clean = load(rows)
+    dirty = tile(dirty, repeat)
+    clean = tile(clean, repeat)
     possibilities: dict[str, list] = {}
     for name in dirty["County"]:
         k = county_key(name)
@@ -101,12 +102,21 @@ def main():
     model = build_model(possibilities, states)
     query = Query.build(model, "Obs", QUERY_CLAUSES)
     ds = ObservedDataset(query, dirty)
-    sweeps = 1 if args.sweeps is None else args.sweeps
+    sweeps = 1 if sweeps is None else sweeps
+    cfg.setdefault("rejuv_frequency", 500)
     config = InferenceConfig(num_iters=sweeps, use_mh_instead_of_pg=True,
-                             rejuv_frequency=500, batch_rows=args.batch)
+                             batch_rows=batch, **cfg)
+    cm = compile_model(model, [ds], capacities=CAPACITIES)
+    return cm, config, dirty, clean, query, sweeps
+
+
+def main():
+    args = std_argparser(__doc__).parse_args()
 
     t0 = time.time()
-    cm = compile_model(model, [ds], capacities=CAPACITIES)
+    cm, config, dirty, clean, query, sweeps = setup(
+        rows=args.rows, repeat=args.repeat, sweeps=args.sweeps,
+        batch=args.batch)
     arenas, params = init_state(cm, jax.random.PRNGKey(args.seed))
     eng = Engine(cm, config)
     key = jax.random.PRNGKey(args.seed + 1)
@@ -122,7 +132,8 @@ def main():
     results = evaluate_accuracy_device(cm, arenas, params, dirty, clean,
                                        query)
     if args.save:
-        save_results(cm, arenas, params, "results", "rents", [ds])
+        save_results(cm, arenas, params, "results", "rents",
+                     [ObservedDataset(query, dirty)])
     report("rents", results, elapsed, len(dirty["County"]), sweeps, args.json)
 
 

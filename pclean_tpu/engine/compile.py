@@ -469,7 +469,22 @@ def init_state(cm: CompiledModel, key) -> tuple[dict, dict]:
     params[cid] = {vid: family-specific state dict}
     (reference: initialize_trace's empty TableTraces + ParameterNode
     instantiation, inference.jl:8-11)
+
+    Runs as ONE jitted program: eagerly, the ~dozens of zeros/param-prior
+    draws each dispatch an individually remote-compiled op, which on a
+    tunneled TPU backend costs ~a minute of wall clock before inference
+    even starts.
     """
+    import jax
+
+    jitted = cm.__dict__.get("_init_state_jit")
+    if jitted is None:
+        jitted = jax.jit(lambda k: _init_state_impl(cm, k))
+        cm.__dict__["_init_state_jit"] = jitted
+    return jitted(key)
+
+
+def _init_state_impl(cm: CompiledModel, key) -> tuple[dict, dict]:
     import jax
     import jax.numpy as jnp
 

@@ -545,7 +545,20 @@ class _ExpandK(DistKernel):
 
 
 class _FormatNameK(DistKernel):
-    """format_name.jl; single-name arity table [V_obs, V_name]."""
+    """format_name.jl.
+
+    Single-name arity: dense table [V_obs, V_name] (2-D is cheap).
+
+    Three-name arity is *factored*: the reference scores an observed string
+    against "first middle last" (3*log 0.9) and "first last" (log 0.1)
+    joins (format_name.jl:15-26). Each observed string with k spaces admits
+    only C(k,2) three-way and k two-way space-splits, so instead of the
+    O(V_obs*V_f*V_m*V_l) dense table we precompute per-observed split code
+    triples T3 [V_obs, S3, 3] / pairs T2 [V_obs, S2, 2] (splits whose parts
+    all intern into the name vocabularies, lowercase like the reference)
+    and match them against the traced name codes with an any-over-splits
+    reduction — O(S) per cell, so 10k-name vocabularies are fine.
+    """
 
     supports_missing = True
 
@@ -568,36 +581,84 @@ class _FormatNameK(DistKernel):
                     tbl[i, j] = FN.logdensity_single(ob_s, nm_s)
             self.tbl = tbl
             self.miss = miss
-        else:
-            doms = [cm.domain(cid, node.arg_ids[f"name{i}"]) for i in range(3)]
-            cells = dom.size * int(np.prod([d.size for d in doms]))
-            assert cells <= 4_000_000, "FormatName/3 table too large"
-            tbl = np.zeros((dom.size, *[d.size for d in doms]), dtype=np.float32)
-            for i, ob in enumerate(dom.vocab.values):
-                for a, fa in enumerate(doms[0].vocab.values):
-                    for b, fb in enumerate(doms[1].vocab.values):
-                        for c, fc in enumerate(doms[2].vocab.values):
-                            tbl[i, a, b, c] = FN.logdensity_triple(
-                                str(ob), str(fa), str(fb), str(fc))
-            self.tbl = tbl
+            return
+        doms = [cm.domain(cid, node.arg_ids[f"name{i}"]) for i in range(3)]
+        # lowercase -> codes maps per name vocabulary (reference compares
+        # lowercase; ties all score, like the dense equality would)
+        lc_maps = []
+        for d in doms:
+            m = {}
+            for code, v in enumerate(d.vocab.values):
+                m.setdefault(str(v).lower(), []).append(code)
+            lc_maps.append(m)
+        tri, two = [], []  # per obs code: list of (f,m,l) / (f,l) code tuples
+        for ob in dom.vocab.values:
+            s = str(ob).lower()
+            sp = [i for i, ch in enumerate(s) if ch == " "]
+            t3, t2 = [], []
+            for ai in range(len(sp)):
+                f = s[: sp[ai]]
+                l2 = s[sp[ai] + 1:]
+                for fc in lc_maps[0].get(f, ()):
+                    for lc2 in lc_maps[2].get(l2, ()):
+                        t2.append((fc, lc2))
+                for bi in range(ai + 1, len(sp)):
+                    fm = s[sp[ai] + 1: sp[bi]]
+                    l3 = s[sp[bi] + 1:]
+                    for fc in lc_maps[0].get(f, ()):
+                        for mc in lc_maps[1].get(fm, ()):
+                            for lc3 in lc_maps[2].get(l3, ()):
+                                t3.append((fc, mc, lc3))
+            tri.append(t3)
+            two.append(t2)
+        S3 = max(max((len(t) for t in tri), default=0), 1)
+        S2 = max(max((len(t) for t in two), default=0), 1)
+        self.T3 = np.full((dom.size, S3, 3), -1, dtype=np.int32)
+        self.T2 = np.full((dom.size, S2, 2), -1, dtype=np.int32)
+        for i, t3 in enumerate(tri):
+            for s_, trip in enumerate(t3):
+                self.T3[i, s_] = trip
+        for i, t2 in enumerate(two):
+            for s_, pair in enumerate(t2):
+                self.T2[i, s_] = pair
 
     def obs_logdensity(self, ctx, obs):
         if self.arity == 1:
             return jnp.asarray(self.tbl)[obs, ctx.value(self.node.arg_ids["name0"])]
-        return jnp.asarray(self.tbl)[obs,
-                        ctx.value(self.node.arg_ids["name0"]),
-                        ctx.value(self.node.arg_ids["name1"]),
-                        ctx.value(self.node.arg_ids["name2"])]
+        f = ctx.value(self.node.arg_ids["name0"])
+        m = ctx.value(self.node.arg_ids["name1"])
+        l = ctx.value(self.node.arg_ids["name2"])
+        t3 = jnp.asarray(self.T3)[obs]  # [..., S3, 3]
+        t2 = jnp.asarray(self.T2)[obs]  # [..., S2, 2]
+        f_, m_, l_ = (jnp.asarray(x)[..., None] for x in (f, m, l))
+        hit3 = jnp.any((t3[..., 0] == f_) & (t3[..., 1] == m_)
+                       & (t3[..., 2] == l_), axis=-1)
+        hit2 = jnp.any((t2[..., 0] == f_) & (t2[..., 1] == l_), axis=-1)
+        return jnp.where(hit3, 3.0 * math.log(0.9),
+                         jnp.where(hit2, math.log(0.1), -1000.0))
 
     def missing_logdensity(self, ctx):
         if self.arity == 1:
             return jnp.asarray(self.miss)[ctx.value(self.node.arg_ids["name0"])]
-        return 0.0
+        return 0.0  # format_name.jl:16-18
 
     prior_needs_key = False
 
     def sample_prior(self, ctx, key):
-        return ctx.value(self.node.arg_ids["name0"])
+        """FormatName is an observation-model leaf; the deferred-scoring
+        path needs *a* value when it is unobserved. Deterministically pick
+        the full-format observed code matching the current name parts (the
+        reference's modal draw, random() w.p. 0.9^3) and fall back to 0."""
+        if self.arity == 1:
+            return ctx.value(self.node.arg_ids["name0"])
+        f = ctx.value(self.node.arg_ids["name0"])
+        m = ctx.value(self.node.arg_ids["name1"])
+        l = ctx.value(self.node.arg_ids["name2"])
+        t3 = jnp.asarray(self.T3)  # [V, S3, 3]
+        f_, m_, l_ = (jnp.asarray(x)[..., None, None] for x in (f, m, l))
+        hit = jnp.any((t3[..., 0] == f_) & (t3[..., 1] == m_)
+                      & (t3[..., 2] == l_), axis=-1)  # [..., V]
+        return jnp.argmax(hit, axis=-1).astype(jnp.int32)
 
 
 class _NumberCodeK(DistKernel):
