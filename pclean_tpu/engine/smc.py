@@ -484,6 +484,111 @@ class Engine:
         self._init_step_fns[ck] = (run, seg)
         return run, seg
 
+    def scan_init_pg(self, cid: ClassID, num_rows: int, P: int):
+        """PG-mode twin of scan_init: one lax.scan program whose body runs a
+        P-particle SMC (propose_row_pg: vmapped particles, ESS-adaptive
+        inter-block resampling) per row instead of the single exact-Gibbs
+        proposal. The particle axis batches the block enumerations, so
+        hundreds of particles ride one program; the per-row Python-dispatch
+        PG loop this replaces cost one tunneled round trip per row.
+
+        Returns (run(arenas, params, base, keys[seg,2]) -> (arenas, params,
+        log_ml), seg)."""
+        seg = min(self.config.scan_segment, num_rows)
+        ck = ("scan_init_pg", cid, seg, num_rows, P)
+        if ck in self._init_step_fns:
+            return self._init_step_fns[ck]
+        cm = self.cm
+        R = self.config.rejuv_frequency
+        from .gibbs_params import resample_all
+        from .particles import propose_row_pg
+
+        @jax.jit
+        def run(arenas, params, base, keys):  # keys: [seg, 2]
+            def body(carry, x):
+                arenas, params, log_ml = carry
+                off, key = x
+                slot = base + off
+                valid = slot < num_rows
+                k1, k2 = jax.random.split(key)
+                pkeys = jax.random.split(k1, P)
+                rel = refresh(cm, arenas, self.obs_dev)
+                env, births, lml = propose_row_pg(
+                    self, cid, arenas, rel, params, slot, pkeys,
+                    retained=False)
+                arenas = apply_row(cm, cid, arenas, slot, env, births,
+                                   accept=valid, mark_alive=False)
+                alive = arenas[cid]["alive"]
+                arenas = {**arenas,
+                          cid: {**arenas[cid],
+                                "alive": alive.at[slot].set(
+                                    alive[slot] | valid)}}
+                do = valid & (((slot + 1) % R) == 0)
+                arenas, params = jax.lax.cond(
+                    do,
+                    lambda c: resample_all(cm, c[0], c[1], self.obs_dev, k2),
+                    lambda c: c,
+                    (arenas, params))
+                return (arenas, params,
+                        log_ml + jnp.where(valid, lml, 0.0)), ()
+
+            (arenas, params, log_ml), _ = jax.lax.scan(
+                body, (arenas, params, jnp.zeros((), jnp.float32)),
+                (jnp.arange(seg), keys))
+            return arenas, params, log_ml
+
+        run = self._aot.wrap(f"scan_init_pg_{cid}_{seg}_{num_rows}_p{P}", run)
+        self._init_step_fns[ck] = (run, seg)
+        return run, seg
+
+    def scan_sweep_class_pg(self, cid: ClassID, P: int):
+        """PG-mode twin of scan_sweep_class: CSMC rejuvenation of every row
+        slot with P particles (particle 1 retained, categorical selection —
+        row_inference.jl:143-145,164) as one scanned program."""
+        cap = self.cm.layouts[cid].capacity
+        seg = min(self.config.scan_segment, cap)
+        ck = ("scan_sweep_pg", cid, seg, P)
+        if ck in self._rejuv_step_fns:
+            return self._rejuv_step_fns[ck]
+        cm = self.cm
+        R = self.config.rejuv_frequency
+        from .gibbs_params import resample_all
+        from .particles import propose_row_pg
+
+        @jax.jit
+        def run(arenas, params, base, keys):  # keys: [seg, 2]
+            def body(carry, x):
+                arenas, params = carry
+                off, key = x
+                slot = base + off
+                k1, k2 = jax.random.split(key)
+                pkeys = jax.random.split(k1, P)
+                rel = refresh(cm, arenas, self.obs_dev, exclude_cid=cid,
+                              exclude_slot=slot)
+                env, births, _lml = propose_row_pg(
+                    self, cid, arenas, rel, params, slot, pkeys,
+                    retained=True)
+                alive = arenas[cid]["alive"][slot] \
+                    if cm.layouts[cid].observed else rel[cid]["alive"][slot]
+                valid = (slot < cap) & alive
+                arenas = apply_row(cm, cid, arenas, slot, env, births,
+                                   accept=valid, mark_alive=False)
+                do = valid & (((slot + 1) % R) == 0)
+                arenas, params = jax.lax.cond(
+                    do,
+                    lambda c: resample_all(cm, c[0], c[1], self.obs_dev, k2),
+                    lambda c: c,
+                    (arenas, params))
+                return (arenas, params), ()
+
+            (arenas, params), _ = jax.lax.scan(
+                body, (arenas, params), (jnp.arange(seg), keys))
+            return arenas, params
+
+        run = self._aot.wrap(f"scan_sweep_pg_{cid}_{seg}_p{P}", run)
+        self._rejuv_step_fns[ck] = (run, seg)
+        return run, seg
+
     def scan_init_batched(self, cid: ClassID, num_rows: int, B: int):
         """Initialization pass with B-row blocked batches inside ONE scanned
         XLA program: each batch is proposed in parallel against the carried
@@ -733,6 +838,24 @@ class Engine:
         for spec in self.cm.obs_specs:
             cid = spec.class_id
             if not cfg.use_mh_instead_of_pg and cfg.num_particles > 1:
+                if cfg.use_scan:
+                    run, seg = self.scan_init_pg(cid, spec.num_rows,
+                                                 cfg.num_particles)
+                    self.log_ml = jnp.zeros((), jnp.float32)
+                    done = 0
+                    while done < spec.num_rows:
+                        key, bulk = jax.random.split(key)
+                        seg_keys = jax.random.split(bulk, seg)
+                        arenas, params, lml = run(arenas, params, done,
+                                                  seg_keys)
+                        self.log_ml = self.log_ml + lml
+                        self._sync(arenas, cid)
+                        done += seg
+                        if progress and (done // progress) != \
+                                ((done - seg) // progress):
+                            print(f"PG init ~{min(done, spec.num_rows)} of "
+                                  f"{spec.num_rows} rows for {cid}")
+                    continue
                 from .particles import pg_init_step
 
                 step = pg_init_step(self, cid, cfg.num_particles)
@@ -822,6 +945,21 @@ class Engine:
         progress = self._progress(progress)
         cfg = self.config
         if not cfg.use_mh_instead_of_pg and cfg.num_particles > 1:
+            if cfg.use_scan:
+                for cid in self.cm.model.class_order:
+                    run, seg = self.scan_sweep_class_pg(cid,
+                                                        cfg.num_particles)
+                    cap = self.cm.layouts[cid].capacity
+                    done = 0
+                    while done < cap:
+                        key, bulk = jax.random.split(key)
+                        seg_keys = jax.random.split(bulk, seg)
+                        arenas, params = run(arenas, params, done, seg_keys)
+                        self._sync(arenas, cid)
+                        done += seg
+                    if progress:
+                        print(f"{cid}: PG sweep done")
+                return arenas, params, key
             from .particles import pg_rejuv_step
 
             for cid in self.cm.model.class_order:

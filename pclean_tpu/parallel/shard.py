@@ -353,3 +353,88 @@ class ShardedEngine:
 
         self._fns[key] = wrapped
         return wrapped
+
+    def sharded_pg_rejuv_step(self, cid: ClassID, n_particles_per_dev: int = 1):
+        """B live rows CSMC-rejuvenated in parallel, each by (mesh 'particle'
+        axis x per-device particles) independent proposals. The retained
+        particle lives at local index 0 of particle-shard 0, forced to the
+        stored row (row_inference.jl:143-145); the final PG selection is a
+        categorical over all-gathered weights with a per-row key sharded
+        over 'data' only, so every particle shard draws the same winner
+        (row_inference.jl:164; the parallel-resampling collective of
+        SURVEY.md §5).
+
+        Rows whose winning particle would birth latent entities are NOT
+        applied and are returned flagged for sequential replay, like the
+        batched MH drivers. Returns (arenas, birthy[B]).
+        """
+        key = ("pg_rejuv", cid, n_particles_per_dev)
+        if key in self._fns:
+            return self._fns[key]
+        eng = self.eng
+        cm = self.cm
+        PP = n_particles_per_dev
+
+        def local(arenas, params, slots, keys, sel_keys):
+            rel = refresh(cm, arenas, eng.obs_dev)
+            my_p = jax.lax.axis_index("particle")
+            alive_arr = arenas[cid]["alive"] if cm.layouts[cid].observed \
+                else rel[cid]["alive"]
+
+            def one_row(s, row_keys, sk):
+                def one_particle(k, forced):
+                    env2, w, births = eng._propose_packed(
+                        cid, arenas, rel, params, s, k, forced)
+                    birthy = jnp.zeros((), bool)
+                    for b in births:
+                        birthy = birthy | b["is_new"]
+                    return env2, w, birthy
+
+                env_f, w_f, b_f = jax.vmap(
+                    lambda k: one_particle(k, False))(row_keys)  # [PP, ...]
+                env_r, w_r, b_r = one_particle(row_keys[0], True)
+                is0 = my_p == 0
+
+                def mix(f, r):
+                    f = jnp.asarray(f)
+                    return f.at[0].set(jnp.where(is0, jnp.asarray(r), f[0]))
+
+                env2 = {v: mix(val, env_r[v]) for v, val in env_f.items()}
+                w = mix(w_f, w_r)
+                birthy = mix(b_f, b_r)
+                w_all = jax.lax.all_gather(w, "particle")  # [n_pdev, PP]
+                idx = jax.random.categorical(sk, w_all.reshape(-1))
+                dev, loc = idx // PP, idx % PP
+                mine = dev == my_p
+
+                def pick(x):
+                    x = jnp.asarray(x)
+                    chosen = x[loc]
+                    contrib = jnp.where(mine, chosen, jnp.zeros_like(chosen))
+                    return jax.lax.psum(contrib, "particle")
+
+                env_sel = {v: pick(val) for v, val in env2.items()}
+                b_sel = pick(birthy.astype(jnp.int32)) > 0
+                return env_sel, b_sel
+
+            env2, birthy = jax.vmap(one_row)(slots, keys, sel_keys)
+            ok = alive_arr[slots] & ~birthy
+            arenas = _scatter_apply(cm, cid, arenas, slots, env2, ok,
+                                    mark_alive=False, axis="data")
+            return arenas, birthy
+
+        smapped = jax.jit(jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(), P(), P("data"), P("data", "particle"), P("data")),
+            out_specs=(P(), P("data"))))
+
+        def wrapped(arenas, params, slots, keys, sel_keys):
+            arenas, params, slots, keys = self._place(
+                arenas, params, ((slots, P("data")),
+                                 (keys, P("data", "particle"))))
+            sel_keys = jax.device_put(
+                sel_keys, NamedSharding(self.mesh, P("data")))
+            return smapped(arenas, params, slots, keys, sel_keys)
+
+        self._fns[key] = wrapped
+        return wrapped

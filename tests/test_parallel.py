@@ -36,6 +36,30 @@ def test_sharded_rejuv_matches_semantics(warm_state):
     assert birthy.shape == (8,)
 
 
+def test_sharded_pg_rejuv_runs(warm_state):
+    cm, q, eng, arenas, params, key = warm_state
+    mesh = make_mesh(4, 2)
+    sh = ShardedEngine(eng, mesh)
+    step = sh.sharded_pg_rejuv_step("Row", n_particles_per_dev=2)
+    slots = jnp.arange(8)
+    keys = jax.random.split(jax.random.PRNGKey(11), 8 * 4).reshape(8, 4, 2)
+    sel = jax.random.split(jax.random.PRNGKey(12), 8)
+    arenas2, birthy = step(arenas, params, slots, keys, sel)
+    # relational invariants hold after the particle-sharded CSMC pass
+    rel = refresh(cm, arenas2, _obs_device(cm))
+    assert int(np.asarray(rel["Obj"]["total"])) == len(DIRTY)
+    assert birthy.shape == (8,)
+    # observed values stay pinned to the dataset (CSMC rewrites latents only)
+    spec = cm.obs_specs[0]
+    for vid, (codes, state) in spec.columns.items():
+        if vid not in arenas2["Row"]["values"]:
+            continue
+        got = np.asarray(arenas2["Row"]["values"][vid])[: len(DIRTY)]
+        obs_mask = np.asarray(state)[: len(DIRTY)] == 1
+        want = np.asarray(codes)[: len(DIRTY)]
+        assert np.array_equal(got[obs_mask], want[obs_mask])
+
+
 def test_sharded_pg_init_runs(warm_state):
     cm, q, eng, arenas0, params, key = warm_state
     mesh = make_mesh(4, 2)

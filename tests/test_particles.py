@@ -37,3 +37,23 @@ def test_pg_init_and_rejuv_roundtrip():
     res = evaluate_accuracy(cm, arenas, params, {"name": list(DIRTY)},
                             {"name": list(CLEAN)}, q)
     assert res["f1"] > 0.5, res
+
+
+def test_pg_scanned_drivers_end_to_end():
+    """Engine.initialize/sweep in PG mode route through the fused scan
+    drivers (scan_init_pg / scan_sweep_class_pg) and reach the same
+    relational invariants + accuracy as the per-row PG steps."""
+    cm, q, ds = tiny_setup()
+    arenas, params = init_state(cm, jax.random.PRNGKey(0))
+    eng = Engine(cm, InferenceConfig(num_iters=1, rejuv_frequency=1000,
+                                     use_mh_instead_of_pg=False,
+                                     num_particles=8, use_scan=True))
+    arenas, params, key = eng.initialize(jax.random.PRNGKey(1), arenas,
+                                         params)
+    assert np.isfinite(float(eng.log_ml))
+    arenas, params, key = eng.sweep(key, arenas, params)
+    rel = refresh(cm, arenas, _obs_device(cm))
+    assert int(np.asarray(rel["Obj"]["total"])) == len(DIRTY)
+    res = evaluate_accuracy(cm, arenas, params, {"name": list(DIRTY)},
+                            {"name": list(CLEAN)}, q)
+    assert res["f1"] > 0.5, res
