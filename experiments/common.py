@@ -33,6 +33,9 @@ def std_argparser(desc: str) -> argparse.ArgumentParser:
                    help="save inference state to this .npz before evaluation")
     p.add_argument("--repeat", type=int, default=1,
                    help="tile the dataset N times (synthetic scaling runs)")
+    p.add_argument("--particles", type=int, default=None,
+                   help="run particle-Gibbs with N vmapped particles instead "
+                        "of the reference MH config (BASELINE.md scaled runs)")
     return p
 
 

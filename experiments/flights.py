@@ -78,7 +78,7 @@ def load(rows=None):
     return dirty, clean
 
 
-def setup(rows=None, repeat=1, sweeps=None, batch=1, **cfg):
+def setup(rows=None, repeat=1, sweeps=None, batch=1, particles=None, **cfg):
     """Compiled workload (shared by main() and bench.py): returns
     (cm, config, dirty, clean, query, sweeps); observed class 'Obs'."""
     dirty, clean = load(rows)
@@ -98,8 +98,11 @@ def setup(rows=None, repeat=1, sweeps=None, batch=1, **cfg):
     query = Query.build(model, "Obs", QUERY_CLAUSES)
     ds = ObservedDataset(query, dirty)
     sweeps = 5 if sweeps is None else sweeps
-    config = InferenceConfig(num_iters=sweeps, use_mh_instead_of_pg=True,
-                             batch_rows=batch, **cfg)
+    if particles:
+        cfg.update(use_mh_instead_of_pg=False, num_particles=particles)
+    else:
+        cfg.setdefault("use_mh_instead_of_pg", True)
+    config = InferenceConfig(num_iters=sweeps, batch_rows=batch, **cfg)
     cm = compile_model(model, [ds], capacities=CAPACITIES)
     return cm, config, dirty, clean, query, sweeps
 
@@ -110,7 +113,7 @@ def main():
     t0 = time.time()
     cm, config, dirty, clean, query, sweeps = setup(
         rows=args.rows, repeat=args.repeat, sweeps=args.sweeps,
-        batch=args.batch)
+        batch=args.batch, particles=args.particles)
     arenas, params = init_state(cm, jax.random.PRNGKey(args.seed))
     eng = Engine(cm, config)
     key = jax.random.PRNGKey(args.seed + 1)
