@@ -36,7 +36,24 @@ def std_argparser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--particles", type=int, default=None,
                    help="run particle-Gibbs with N vmapped particles instead "
                         "of the reference MH config (BASELINE.md scaled runs)")
+    p.add_argument("--shard", type=int, default=0,
+                   help="shard rows over an N-device data mesh (the batched "
+                        "drivers run under shard_map; requires --batch "
+                        "divisible by N)")
     return p
+
+
+def mesh_from_args(args):
+    """Data mesh for Engine(mesh=...) when --shard is given, else None.
+    The same script then runs identically on one chip, an ICI slice, or
+    (after parallel.initialize_multihost) a multi-host pod."""
+    if not getattr(args, "shard", 0):
+        return None
+    if args.batch % args.shard != 0:
+        raise SystemExit("--batch must be divisible by --shard "
+                         f"(got {args.batch} % {args.shard})")
+    from pclean_tpu.parallel import make_mesh
+    return make_mesh(args.shard, 1)
 
 
 def truncate(data: dict, n) -> dict:

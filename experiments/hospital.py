@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import time
 
-from common import (dataset_paths, report, std_argparser, tile,
+from common import (dataset_paths, mesh_from_args, report,
+                    std_argparser, tile,
                     truncate)
 
 import jax
@@ -148,7 +149,7 @@ def main():
         rows=args.rows, repeat=args.repeat, sweeps=args.sweeps,
         batch=args.batch, particles=args.particles)
     arenas, params = init_state(cm, jax.random.PRNGKey(args.seed))
-    eng = Engine(cm, config)
+    eng = Engine(cm, config, mesh=mesh_from_args(args))
     key = jax.random.PRNGKey(args.seed + 1)
     arenas, params, key = eng.initialize(key, arenas, params, progress=100)
     arenas, params, key = eng.run(key, arenas, params, progress=100)
