@@ -74,6 +74,12 @@ class InferenceConfig:
     # artifact, minimal warm-start); False falls back to per-class segmented
     # dispatches (useful if a backend kills long single executions)
     fuse_sweep: bool = True
+    # upper bound on rows covered by a single fused dispatch: above this the
+    # sweep/init drivers use the segmented per-class programs instead, so
+    # one dispatch never runs for minutes (tunneled PJRT workers kill such
+    # executions mid-flight — a 50k-row one-dispatch rents sweep dies).
+    # Small workloads stay one-dispatch (minimal warm-start floor).
+    fused_dispatch_rows: int = 8192
     # The dense block proposals enumerate the full joint over each block, so
     # the MH proposal IS the conditional posterior and the acceptance ratio
     # is exactly 1 whenever every weight-bearing node is enumerable or
@@ -85,6 +91,18 @@ class InferenceConfig:
     # time; the engine silently falls back to the explicit comparison when
     # the audit fails (Engine.exact_accept), so True is always safe.
     exact_gibbs_accept: bool = True
+
+
+def _fetch_np(x) -> np.ndarray:
+    """Host numpy view of a possibly-sharded global array. Multi-process, a
+    data-sharded output spans non-addressable devices and np.asarray
+    raises; all-gather the shards first (every process needs the full
+    value anyway — the replay loop below it is replicated control flow)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
 
 
 def _obs_device(cm: CompiledModel):
@@ -598,10 +616,17 @@ class Engine:
         relational refresh amortizes over B and the proposal enumerations
         batch onto the MXU.
 
-        Returns (run(arenas, params, keys[nb*B, 2]) -> (arenas, params,
-        flags[nb*B]), nb)."""
+        Dispatched in segments of `seg_b` batches (scan_segment rows) so
+        single-dispatch device time stays bounded regardless of dataset
+        size (see InferenceConfig.fused_dispatch_rows rationale).
+
+        Returns (run(arenas, params, base, keys[seg_b*B, 2]) -> (arenas,
+        params, flags[seg_b*B]), nb, seg_b); `base` is the first batch
+        index of the segment."""
         nb = (num_rows + B - 1) // B
-        ck = ("scan_init_b", cid, B, num_rows)
+        seg_b = max(1, min(self.config.scan_segment, num_rows) // B)
+        seg_b = min(seg_b, nb)
+        ck = ("scan_init_b", cid, B, num_rows, seg_b)
         if ck in self._init_step_fns:
             return self._init_step_fns[ck]
         cm = self.cm
@@ -609,11 +634,12 @@ class Engine:
         from .gibbs_params import resample_all
 
         @jax.jit
-        def run(arenas, params, keys):  # keys: [nb*B, 2]
-            def body(carry, bi):
+        def run(arenas, params, base, keys):  # keys: [seg_b*B, 2]
+            def body(carry, x):
                 arenas, params = carry
+                i, bkeys = x  # bkeys: [B, 2]
+                bi = base + i
                 slots = bi * B + jnp.arange(B)
-                bkeys = keys[slots]
                 rel = refresh(cm, arenas, self.obs_dev)
                 env2, ok, birthy = jax.vmap(
                     lambda s, k: init_row_step(self, cid, arenas, rel, params,
@@ -630,12 +656,13 @@ class Engine:
                 return (arenas, params), birthy
 
             (arenas, params), flags = jax.lax.scan(
-                body, (arenas, params), jnp.arange(nb))
+                body, (arenas, params),
+                (jnp.arange(seg_b), keys.reshape(seg_b, B, 2)))
             return arenas, params, flags.reshape(-1)
 
-        run = self._aot.wrap(f"scan_init_b{B}_{cid}_{num_rows}", run)
-        self._init_step_fns[ck] = (run, nb)
-        return run, nb
+        run = self._aot.wrap(f"scan_init_b{B}_{cid}_{num_rows}_s{seg_b}", run)
+        self._init_step_fns[ck] = (run, nb, seg_b)
+        return run, nb, seg_b
 
     def scan_sweep_class(self, cid: ClassID):
         """A segment of one class's rejuvenation sweep as one scanned
@@ -819,6 +846,56 @@ class Engine:
         self._rejuv_step_fns[ck] = (run, total, caps)
         return run, total, caps
 
+    def scan_sweep_class_batched(self, cid: ClassID, B: int):
+        """One class's batched blocked-Gibbs sweep, dispatched in segments
+        of `seg_b` batches — the large-workload counterpart of
+        scan_sweep_all_batched (same per-batch semantics; bounded
+        single-dispatch device time, see fused_dispatch_rows).
+
+        Returns (run(arenas, params, base, keys[seg_b*B, 2]) -> (arenas,
+        params, flags[seg_b*B]), nb, seg_b)."""
+        cap = self.cm.layouts[cid].capacity
+        nb = (cap + B - 1) // B
+        seg_b = max(1, min(self.config.scan_segment, cap) // B)
+        seg_b = min(seg_b, nb)
+        ck = ("scan_sweep_class_b", cid, B, seg_b)
+        if ck in self._rejuv_step_fns:
+            return self._rejuv_step_fns[ck]
+        cm = self.cm
+        R = max(1, self.config.rejuv_frequency // B)
+        from .gibbs_params import resample_all
+
+        @jax.jit
+        def run(arenas, params, base, keys):  # keys: [seg_b*B, 2]
+            def body(carry, x):
+                arenas, params = carry
+                i, bkeys = x  # bkeys: [B, 2]
+                bi = base + i
+                slots = bi * B + jnp.arange(B)
+                rel = refresh(cm, arenas, self.obs_dev)
+                env2, accept, birthy = jax.vmap(
+                    lambda s, k: mh_row_step(self, cid, arenas, rel, params,
+                                             s, k, s < cap))(slots, bkeys)
+                arenas = _apply_batch(cm, cid, arenas, slots, env2, accept,
+                                      mark_alive=False)
+                kq = jax.random.fold_in(bkeys[0], 7)
+                do = ((bi + 1) % R) == 0
+                arenas, params = jax.lax.cond(
+                    do,
+                    lambda c: resample_all(cm, c[0], c[1], self.obs_dev, kq),
+                    lambda c: c,
+                    (arenas, params))
+                return (arenas, params), birthy
+
+            (arenas, params), flags = jax.lax.scan(
+                body, (arenas, params),
+                (jnp.arange(seg_b), keys.reshape(seg_b, B, 2)))
+            return arenas, params, flags.reshape(-1)
+
+        run = self._aot.wrap(f"scan_sweep_cb{B}_{cid}_s{seg_b}", run)
+        self._rejuv_step_fns[ck] = (run, nb, seg_b)
+        return run, nb, seg_b
+
     # -------------------------------------------------------------- drivers
 
     def _progress(self, progress):
@@ -895,18 +972,36 @@ class Engine:
                 if self.sharded is not None:
                     run, nb = self.sharded.scan_init_batched(
                         cid, spec.num_rows, B)
+                    key, bulk = jax.random.split(key)
+                    keys = jax.random.split(bulk, nb * B)
+                    arenas, params, flags = run(arenas, params, keys)
+                    self._sync(arenas, cid)
+                    flags = _fetch_np(flags)
                 else:
-                    run, nb = self.scan_init_batched(cid, spec.num_rows, B)
-                key, bulk = jax.random.split(key)
-                keys = jax.random.split(bulk, nb * B)
-                arenas, params, flags = run(arenas, params, keys)
-                self._sync(arenas, cid)
+                    run, nb, seg_b = self.scan_init_batched(
+                        cid, spec.num_rows, B)
+                    parts = []
+                    for base in range(0, nb, seg_b):
+                        key, bulk = jax.random.split(key)
+                        seg_keys = jax.random.split(bulk, seg_b * B)
+                        arenas, params, fl = run(arenas, params, base,
+                                                 seg_keys)
+                        self._sync(arenas, cid)
+                        parts.append(np.asarray(fl))
+                        if progress:
+                            done = min((base + seg_b) * B, spec.num_rows)
+                            if (done // progress) != (base * B // progress):
+                                print(f"Initialized ~{done} of "
+                                      f"{spec.num_rows} rows for {cid}")
+                    flags = np.concatenate(parts)
                 # exact sequential replay of rows that birth latent entities
-                idx = np.flatnonzero(np.asarray(flags)[: spec.num_rows])
+                idx = np.flatnonzero(flags[: spec.num_rows])
                 if idx.size:
                     step = self.init_step(cid)
+                    key, bulk = jax.random.split(key)
+                    rkeys = jax.random.split(bulk, nb * B)
                     for s in idx:
-                        arenas = step(arenas, params, int(s), keys)
+                        arenas = step(arenas, params, int(s), rkeys)
                 if progress:
                     print(f"Initialized {spec.num_rows} rows for {cid} "
                           f"(batched B={B}, {idx.size} replayed)")
@@ -976,7 +1071,10 @@ class Engine:
                         key, sub = jax.random.split(key)
                         arenas, params = self._resample(arenas, params, sub)
             return arenas, params, key
-        if cfg.use_scan and cfg.batch_rows <= 1 and cfg.fuse_sweep:
+        total_cap = sum(self.cm.layouts[c].capacity
+                        for c in self.cm.model.class_order)
+        if cfg.use_scan and cfg.batch_rows <= 1 and cfg.fuse_sweep \
+                and total_cap <= cfg.fused_dispatch_rows:
             run, total, caps = self.scan_sweep_all()
             key, bulk = jax.random.split(key)
             keys = jax.random.split(bulk, total)
@@ -999,7 +1097,9 @@ class Engine:
                 if progress:
                     print(f"{cid}: sweep done")
             return arenas, params, key
-        if cfg.use_scan and cfg.batch_rows > 1:
+        if cfg.use_scan and cfg.batch_rows > 1 and \
+                (self.sharded is not None
+                 or total_cap <= cfg.fused_dispatch_rows):
             if self.sharded is not None:
                 run, total, caps = self.sharded.scan_sweep_all_batched(
                     cfg.batch_rows)
@@ -1011,7 +1111,7 @@ class Engine:
             self._sync(arenas, self.cm.model.class_order[-1])
             # replay rows whose proposals tried to birth latent entities
             for cid in self.cm.model.class_order:
-                fl = np.asarray(flags[cid])
+                fl = _fetch_np(flags[cid])
                 idx = np.flatnonzero(fl[: self.cm.layouts[cid].capacity])
                 if idx.size == 0:
                     continue
@@ -1022,6 +1122,30 @@ class Engine:
                     arenas = step(arenas, params, int(s), rk)
             if progress:
                 print("sweep done (fused, batched)")
+            return arenas, params, key
+        if cfg.use_scan and cfg.batch_rows > 1:
+            # large workload: per-class segmented batched sweeps (bounded
+            # single-dispatch time; same blocked-Gibbs semantics)
+            B = cfg.batch_rows
+            for cid in self.cm.model.class_order:
+                run, nb, seg_b = self.scan_sweep_class_batched(cid, B)
+                cap = self.cm.layouts[cid].capacity
+                parts = []
+                for base in range(0, nb, seg_b):
+                    key, bulk = jax.random.split(key)
+                    seg_keys = jax.random.split(bulk, seg_b * B)
+                    arenas, params, fl = run(arenas, params, base, seg_keys)
+                    self._sync(arenas, cid)
+                    parts.append(np.asarray(fl))
+                idx = np.flatnonzero(np.concatenate(parts)[:cap])
+                if idx.size:
+                    step = self.rejuv_step(cid)
+                    key, bulk = jax.random.split(key)
+                    rk = jax.random.split(bulk, cap)
+                    for s in idx:
+                        arenas = step(arenas, params, int(s), rk)
+                if progress:
+                    print(f"{cid}: sweep done (batched, segmented)")
             return arenas, params, key
         for cid in self.cm.model.class_order:
             step = self.rejuv_step(cid)
