@@ -61,8 +61,11 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
     if not explicit and not auto_pod:
         return jax.process_count() > 1
-    if jax.process_count() > 1:
-        return True  # already initialized
+    # IMPORTANT: do not probe jax.process_count() here — it initializes the
+    # backends, after which jax.distributed.initialize refuses to run and
+    # the process silently stays single-controller.
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,

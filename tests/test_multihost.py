@@ -1,0 +1,31 @@
+"""Genuine multi-process jax.distributed run (2 CPU processes x 4 virtual
+devices): the cross-process collective path the 8-virtual-device
+single-process mesh cannot exercise. Launches scripts/multihost_cpu_demo.sh,
+which runs the sharded engine end-to-end in both processes and asserts each
+converges to identical replicated arenas (reference contrast: the Julia
+engine is single-threaded, inference.jl:60-81 — no counterpart)."""
+from __future__ import annotations
+
+import os
+import subprocess
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_two_process_multihost_demo():
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS",
+                        "_PCLEAN_TEST_REEXEC")}
+    env["PORT"] = "7641"
+    out = subprocess.run(
+        ["bash", os.path.join(REPO, "scripts", "multihost_cpu_demo.sh")],
+        capture_output=True, text=True, timeout=900, cwd=REPO, env=env)
+    assert out.returncode == 0, out.stderr[-3000:]
+    lines = [ln for ln in out.stdout.splitlines() if "fingerprint" in ln]
+    assert len(lines) == 2, out.stdout
+    fps = {ln.split("fingerprint")[1].strip() for ln in lines}
+    assert len(fps) == 1, f"processes diverged: {lines}"
+    assert out.stdout.count("MULTIHOST OK") == 2
