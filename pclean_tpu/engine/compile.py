@@ -142,6 +142,42 @@ def compile_model(model: Model, datasets: Sequence[ObservedDataset],
     return cm
 
 
+def _statically_observed(cm: CompiledModel, key: tuple) -> bool:
+    """True iff every live row of key's class observes `key`, so the score
+    pass never takes a prior draw for it (propose.py sample-first order):
+
+      * observed class: the column is present with observedness 1 in every
+        row of every dataset over that class;
+      * latent class: a propagated observation from such a column reaches it
+        along EVERY fk-inlined path by which an observed class can see it
+        (refresh.propagated_obs_specs). Liveness roots are observed rows —
+        a latent row is live only while (transitively) referenced by one —
+        so every live row has at least one referring chain, every chain
+        forces the value, and an unforced chain would be a liveness path
+        with no observation, which fails the check.
+    """
+    tc, tv = key
+    if cm.layouts[tc].observed:
+        specs = [s for s in cm.obs_specs if s.class_id == tc]
+        return bool(specs) and all(
+            tv in s.columns and np.all(np.asarray(s.columns[tv][1]) == 1)
+            for s in specs)
+    found = False
+    for spec in cm.obs_specs:
+        c = cm.cls(spec.class_id)
+        for vid in range(len(c.nodes)):
+            if not isinstance(c.nodes[vid], SubmodelNode):
+                continue
+            if cm.canon(spec.class_id, vid) != key:
+                continue
+            if vid in spec.columns and \
+                    np.all(np.asarray(spec.columns[vid][1]) == 1):
+                found = True
+            else:
+                return False
+    return found
+
+
 def _audit_exact_gibbs(cm: CompiledModel) -> bool:
     """True iff the dense block proposals are exact Gibbs everywhere, i.e.
     acceptance ratio identically 1 (see InferenceConfig.exact_gibbs_accept).
@@ -176,6 +212,12 @@ def _audit_exact_gibbs(cm: CompiledModel) -> bool:
                 readers.setdefault(cm.canon(cid, a), set()).add((cid, w))
     for start, kern in cm.kernels.items():
         if kern.enumerable:
+            continue
+        if _statically_observed(cm, start):
+            # never takes a prior draw in any scored situation, so its value
+            # is observation-forced identically in the proposal and retained
+            # passes — exactness-neutral even though non-enumerable (the
+            # rents County.countykey shape: Unmodeled key columns)
             continue
         # BFS from the non-enumerable choice through deterministic readers
         seen, frontier = {start}, [start]

@@ -118,3 +118,43 @@ def test_mcmc_matches_brute_force_posterior():
     got, _ = run_chain(cm, q, sweeps=800, seed=5)
     tv = 0.5 * np.abs(got - want).sum()
     assert tv < 0.12, (got, want, tv)
+
+
+def _keyed_latent_model(observe_key: bool):
+    """rents shape: latent class keyed by an Unmodeled column that is
+    (optionally) statically observed via clean=dirty propagation."""
+    from pclean_tpu.dists import Unmodeled
+
+    b = ModelBuilder()
+    with b.cls("County") as c:
+        c.choice("key", Unmodeled())
+        c.choice("name", StringPrior(1, 10, VALS))
+    with b.cls("Row") as c:
+        c.fk("county", "County")
+        c.choice("name_obs", AddTypos(Ref("county.name")))
+        c.choice("key_obs", AddTypos(Ref("county.key")))
+    model = b.finish()
+    clauses = [("name", "county.name", "name_obs")]
+    data = {"name": ["aa", "ab"], "key": ["k1", "k2"]}
+    if observe_key:
+        clauses.append(("key", "county.key"))  # clean = dirty: propagated
+    else:
+        clauses.append(("key", "county.key", "key_obs"))  # noisy: not
+    q = Query.build(model, "Row", clauses)
+    ds = ObservedDataset(q, data)
+    return compile_model(model, [ds], capacities={"County": 4})
+
+
+def test_audit_passes_statically_observed_unmodeled_key():
+    """An Unmodeled latent key propagated from a column observed in every
+    dataset row never takes a prior draw, so exactness holds (the rents
+    County.countykey shape; compile._statically_observed)."""
+    cm = _keyed_latent_model(observe_key=True)
+    assert cm.exact_gibbs_ok is True
+
+
+def test_audit_flags_unobserved_unmodeled_key():
+    """Without the propagated observation the key's prior draw flows into
+    the name prior's argument graph — not exact."""
+    cm = _keyed_latent_model(observe_key=False)
+    assert cm.exact_gibbs_ok is False
