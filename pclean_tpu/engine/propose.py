@@ -132,7 +132,8 @@ class _SampleCtx:
 class BlockTracer:
     def __init__(self, cm: CompiledModel, cid: ClassID, arenas: dict,
                  rel: dict, params: dict, obs_arrays: dict, obs_row: dict,
-                 env0: dict, row_slot, force_retained: bool = False):
+                 env0: dict, row_slot, force_retained: bool = False,
+                 ext_hists: Optional[dict] = None):
         self.cm = cm
         self.cid = cid
         self.arenas = arenas
@@ -147,6 +148,9 @@ class BlockTracer:
         self.records: dict[tuple, Any] = {}
         self.row_slot = row_slot
         self.force_retained = force_retained
+        # {(path, ext_id): [cap, V]} referrer-observation histograms hoisted
+        # out of the sweep scan (see referrer_histograms below)
+        self.ext_hists = ext_hists or {}
 
     # ---------------------------------------------------------------- utils
 
@@ -466,7 +470,8 @@ class BlockTracer:
         elif isinstance(ext, ChoiceNode):
             kern = self.cm.kernels[self.cm.canon(src, node.ext_id)]
             hist_term = self._ext_hist_term(kern, ext, src, node.ext_id,
-                                            mask, inv, depth, ext_value)
+                                            mask, inv, depth, ext_value,
+                                            path=node.path)
             if hist_term is not None:
                 presummed = presummed + hist_term
             else:
@@ -497,7 +502,8 @@ class BlockTracer:
     _SA_MAX_CELLS = 16_000_000
 
     def _ext_hist_term(self, kern, ext: ChoiceNode, src: ClassID,
-                       ext_id: VertexID, mask, inv, depth: int, ext_value):
+                       ext_id: VertexID, mask, inv, depth: int, ext_value,
+                       path=None):
         """Histogram-matmul path for AddTypos externals: the per-referrer sum
         Σ_r M[obs_r, word_r] collapses to a histogram (scatter) times the
         likelihood matrix (one MXU matvec) whenever `word` is a function of
@@ -524,8 +530,14 @@ class BlockTracer:
         w = mask if st is None else (mask & (st != 2))
         V = kern.V
         if word_sv in inv and inv[word_sv] in self.env:
-            hist = jnp.zeros((V,), jnp.float32).at[val].add(
-                jnp.where(w, 1.0, 0.0), mode="drop")
+            pre = self.ext_hists.get((path, ext_id))
+            if pre is not None:
+                # hoisted: one [cap, V] scatter per sweep segment instead of
+                # one [Cs] scatter per swept slot (referrer_histograms)
+                hist = pre[self.row_slot]
+            else:
+                hist = jnp.zeros((V,), jnp.float32).at[val].add(
+                    jnp.where(w, 1.0, 0.0), mode="drop")
             termvec = hist @ jnp.asarray(kern.M)  # [V_lat]
             arg = self.aligned(inv[word_sv], depth)
             return termvec[arg]
@@ -826,6 +838,72 @@ class _KeyStream:
         sub = jax.random.fold_in(self.key, self.i)
         self.i += 1
         return sub
+
+
+def referrer_histograms(cm: CompiledModel, cid: ClassID, arenas: dict,
+                        params: dict, rel: dict, obs_arrays: dict) -> dict:
+    """{(path, ext_id): [cap, V] float32} — the referrer-observation
+    histograms behind every hoistable AddTypos external of class `cid`,
+    for ALL swept slots at once.
+
+    During class `cid`'s own sweep its referrers are frozen (apply_row
+    writes only `cid` rows and fk-target births in *deeper* classes), so
+    the per-slot histogram the tracer would scatter per swept row
+    (_ext_hist_term) is loop-invariant across the whole sweep. Hoisting it
+    here turns cap × O(referrers) scatters — the dominant cost of
+    latent-class rejuvenation at scale (rents County: 4096 slots × 50k
+    referrer scatter each) — into ONE 2-D scatter per segment.
+
+    Equivalence with the in-step scatter: t chases the same fk columns,
+    dead referrers drop via the alive mask, missing observations (state 2)
+    drop, and out-of-range slots drop via mode="drop"; H[slot] is then
+    exactly `hist` for row_slot=slot.
+    """
+    from .kernels import _AddTyposK
+
+    out: dict = {}
+    cap = cm.layouts[cid].capacity
+
+    def collect(step):
+        node = cm.node(cid, step.idx)
+        if isinstance(node, ExternalLikelihoodNode):
+            src = node.path[-1][0]
+            ext = node.ext_node
+            if isinstance(ext, ChoiceNode):
+                kern = cm.kernels[cm.canon(src, node.ext_id)]
+                word_sv = ext.arg_ids.get("word")
+                vmap = cm.cls(cid).incoming_references[node.path]
+                inv = {sv: tv for tv, sv in vmap.items()}
+                key = (node.path, node.ext_id)
+                if isinstance(kern, _AddTyposK) and word_sv in inv \
+                        and key not in out:
+                    t = None
+                    for (hop_cid, hop_fk) in reversed(node.path):
+                        col = arenas[hop_cid]["values"][hop_fk]
+                        t = col if t is None else col[t]
+                    Cs = cm.layouts[src].capacity
+                    slots = jnp.arange(Cs)
+                    oa = obs_arrays.get(src, {}).get(node.ext_id)
+                    if oa is not None:
+                        codes, state = oa
+                        stored = row_value(cm, arenas, params, src,
+                                           node.ext_id, slots)
+                        val = jnp.where(jnp.asarray(state) == 1,
+                                        jnp.asarray(codes), stored)
+                        w = rel[src]["alive"] & (jnp.asarray(state) != 2)
+                    else:
+                        val = row_value(cm, arenas, params, src,
+                                        node.ext_id, slots)
+                        w = rel[src]["alive"]
+                    out[key] = jnp.zeros((cap, kern.V), jnp.float32) \
+                        .at[t, val].add(jnp.where(w, 1.0, 0.0), mode="drop")
+        for child in step.rest.steps:
+            collect(child)
+
+    for plan in cm.cls(cid).plans:
+        for step in plan.steps:
+            collect(step)
+    return out
 
 
 def row_value(cm: CompiledModel, arenas: dict, params: dict, cls: ClassID,

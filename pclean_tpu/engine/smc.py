@@ -177,7 +177,7 @@ def _apply_batch(cm: CompiledModel, cid: ClassID, arenas: dict, slots,
 
 
 def mh_row_step(eng, cid: ClassID, arenas: dict, rel: dict, params: dict,
-                s, k, valid):
+                s, k, valid, ext_hists=None):
     """One row's MH rejuvenation decision against a (possibly frozen)
     relational snapshot: propose fresh, optionally score retained, accept by
     the MH rule (row_inference.jl:161-163). Shared verbatim by the
@@ -188,7 +188,7 @@ def mh_row_step(eng, cid: ClassID, arenas: dict, rel: dict, params: dict,
     cm = eng.cm
     kp, kr, ka = jax.random.split(k, 3)
     env_p, w_p, births = eng._propose_packed(cid, arenas, rel, params, s, kp,
-                                             False)
+                                             False, ext_hists=ext_hists)
     alive = arenas[cid]["alive"][s] if cm.layouts[cid].observed \
         else rel[cid]["alive"][s]
     alive = alive & valid
@@ -199,13 +199,13 @@ def mh_row_step(eng, cid: ClassID, arenas: dict, rel: dict, params: dict,
         accept = alive
     else:
         _er, w_r, _b = eng._propose_packed(cid, arenas, rel, params, s, kr,
-                                           True)
+                                           True, ext_hists=ext_hists)
         accept = (jnp.log(jax.random.uniform(ka)) < (w_p - w_r)) & alive
     return env_p, accept & ~birthy, birthy & alive
 
 
 def init_row_step(eng, cid: ClassID, arenas: dict, rel: dict, params: dict,
-                  s, k, valid):
+                  s, k, valid, ext_hists=None):
     """One fresh row's SMC-init proposal against a frozen snapshot; rows that
     would birth latent entities are deferred (returned flagged) so entity
     creation stays exact under batching. Shared by single-device and sharded
@@ -281,6 +281,17 @@ class Engine:
         vid = next(iter(store))
         return arenas[cid]["values"][vid]
 
+    def _ext_hists(self, cid, arenas, params):
+        """Loop-invariant referrer histograms for class cid's sweep
+        (propose.referrer_histograms): computed once per segment from the
+        segment-entry arenas — valid for the whole segment because a class
+        sweep never mutates its referrers."""
+        from .propose import referrer_histograms
+
+        rel = refresh(self.cm, arenas, self.obs_dev)
+        return referrer_histograms(self.cm, cid, arenas, params, rel,
+                                   self.obs_dev)
+
     def _sync(self, arenas, cid):
         """True execution barrier on the class's step outputs (utils.
         device_sync rationale: block_until_ready is unreliable on tunneled
@@ -309,7 +320,8 @@ class Engine:
             out[vid] = (code[slot], (cnt[slot] > 0).astype(jnp.int8))
         return out
 
-    def _propose(self, cid, arenas, rel, params, slot, key, force_retained):
+    def _propose(self, cid, arenas, rel, params, slot, key, force_retained,
+                 ext_hists=None):
         cm = self.cm
         c = cm.cls(cid)
         obs_row = self._obs_row_slices(cid, slot, rel)
@@ -319,7 +331,8 @@ class Engine:
         for plan in c.plans:
             key, sub = jax.random.split(key)
             tr = BlockTracer(cm, cid, arenas, rel, params, self.obs_dev,
-                             obs_row, env2, slot, force_retained=force_retained)
+                             obs_row, env2, slot, force_retained=force_retained,
+                             ext_hists=ext_hists)
             logZ, res = tr.run(plan, sub)
             env2 = res.env
             births.extend(res.births)
@@ -327,10 +340,10 @@ class Engine:
         return env2, births, w
 
     def _propose_packed(self, cid, arenas, rel, params, slot, key,
-                        force_retained):
+                        force_retained, ext_hists=None):
         """vmap-friendly wrapper: pytree outputs only (Birth is unpacked)."""
         env2, births, w = self._propose(cid, arenas, rel, params, slot, key,
-                                        force_retained)
+                                        force_retained, ext_hists=ext_hists)
         traced = [{"is_new": b.is_new, "slot": b.slot, "values": b.values}
                   for b in births]
         return env2, w, traced
@@ -680,6 +693,8 @@ class Engine:
 
         @jax.jit
         def run(arenas, params, base, keys):
+            hists = self._ext_hists(cid, arenas, params)  # loop-invariant
+
             def body(carry, x):
                 arenas, params = carry
                 off, key = x
@@ -689,14 +704,16 @@ class Engine:
                 rel = refresh(cm, arenas, self.obs_dev, exclude_cid=cid,
                               exclude_slot=slot)
                 env_p, births_p, w_p = self._propose(cid, arenas, rel, params,
-                                                     slot, kp, False)
+                                                     slot, kp, False,
+                                                     ext_hists=hists)
                 alive = arenas[cid]["alive"][slot] if cm.layouts[cid].observed \
                     else rel[cid]["alive"][slot]
                 if self.exact_accept:
                     accept = alive & valid
                 else:
                     _er, _br, w_r = self._propose(cid, arenas, rel, params,
-                                                  slot, kr, True)
+                                                  slot, kr, True,
+                                                  ext_hists=hists)
                     accept = (jnp.log(jax.random.uniform(ka))
                               < (w_p - w_r)) & alive & valid
                 arenas = apply_row(cm, cid, arenas, slot, env_p, births_p,
@@ -740,6 +757,7 @@ class Engine:
 
         def class_pass(cid, arenas, params, keys):
             cap = caps[cid]
+            hists = self._ext_hists(cid, arenas, params)  # loop-invariant
 
             def body(carry, x):
                 arenas, params = carry
@@ -748,14 +766,16 @@ class Engine:
                 rel = refresh(cm, arenas, self.obs_dev, exclude_cid=cid,
                               exclude_slot=slot)
                 env_p, births_p, w_p = self._propose(cid, arenas, rel, params,
-                                                     slot, kp, False)
+                                                     slot, kp, False,
+                                                     ext_hists=hists)
                 alive = arenas[cid]["alive"][slot] if cm.layouts[cid].observed \
                     else rel[cid]["alive"][slot]
                 if self.exact_accept:
                     accept = alive
                 else:
                     _er, _br, w_r = self._propose(cid, arenas, rel, params,
-                                                  slot, kr, True)
+                                                  slot, kr, True,
+                                                  ext_hists=hists)
                     accept = (jnp.log(jax.random.uniform(ka))
                               < (w_p - w_r)) & alive
                 arenas = apply_row(cm, cid, arenas, slot, env_p, births_p,
@@ -801,6 +821,7 @@ class Engine:
 
         def class_pass(cid, arenas, params, keys, n_batches):
             cap = cm.layouts[cid].capacity
+            hists = self._ext_hists(cid, arenas, params)  # loop-invariant
 
             def body(carry, x):
                 arenas, params = carry
@@ -809,7 +830,8 @@ class Engine:
                 rel = refresh(cm, arenas, self.obs_dev)
                 env2, accept, birthy = jax.vmap(
                     lambda s, k: mh_row_step(self, cid, arenas, rel, params,
-                                             s, k, s < cap))(slots, bkeys)
+                                             s, k, s < cap,
+                                             ext_hists=hists))(slots, bkeys)
                 arenas = _apply_batch(cm, cid, arenas, slots, env2, accept,
                                       mark_alive=False)
                 kq = jax.random.fold_in(bkeys[0], 7)
@@ -867,6 +889,8 @@ class Engine:
 
         @jax.jit
         def run(arenas, params, base, keys):  # keys: [seg_b*B, 2]
+            hists = self._ext_hists(cid, arenas, params)  # loop-invariant
+
             def body(carry, x):
                 arenas, params = carry
                 i, bkeys = x  # bkeys: [B, 2]
@@ -875,7 +899,8 @@ class Engine:
                 rel = refresh(cm, arenas, self.obs_dev)
                 env2, accept, birthy = jax.vmap(
                     lambda s, k: mh_row_step(self, cid, arenas, rel, params,
-                                             s, k, s < cap))(slots, bkeys)
+                                             s, k, s < cap,
+                                             ext_hists=hists))(slots, bkeys)
                 arenas = _apply_batch(cm, cid, arenas, slots, env2, accept,
                                       mark_alive=False)
                 kq = jax.random.fold_in(bkeys[0], 7)
