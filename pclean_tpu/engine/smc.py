@@ -281,16 +281,28 @@ class Engine:
         vid = next(iter(store))
         return arenas[cid]["values"][vid]
 
-    def _ext_hists(self, cid, arenas, params):
+    def _ext_hists(self, cid, arenas, params, rel=None):
         """Loop-invariant referrer histograms for class cid's sweep
         (propose.referrer_histograms): computed once per segment from the
         segment-entry arenas — valid for the whole segment because a class
         sweep never mutates its referrers."""
         from .propose import referrer_histograms
 
-        rel = refresh(self.cm, arenas, self.obs_dev)
+        if rel is None:
+            rel = refresh(self.cm, arenas, self.obs_dev)
         return referrer_histograms(self.cm, cid, arenas, params, rel,
                                    self.obs_dev)
+
+    def _leaf_latent(self, cid) -> bool:
+        """Latent class with no outgoing fks: its exclude-refresh is a
+        no-op (live_mask exclusion only affects classes cid refers to) and
+        no rel component reads cid's values, so the whole relational
+        snapshot is loop-invariant during cid's own sweep and is computed
+        once per segment instead of once per slot — removing the per-slot
+        O(referrers) refcount/propagation scatters (the rents County
+        bottleneck)."""
+        lay = self.cm.layouts[cid]
+        return not lay.observed and not lay.fk_vertices
 
     def _sync(self, arenas, cid):
         """True execution barrier on the class's step outputs (utils.
@@ -691,9 +703,12 @@ class Engine:
         R = self.config.rejuv_frequency
         from .gibbs_params import resample_all
 
+        leaf = self._leaf_latent(cid)
+
         @jax.jit
         def run(arenas, params, base, keys):
-            hists = self._ext_hists(cid, arenas, params)  # loop-invariant
+            rel0 = refresh(cm, arenas, self.obs_dev) if leaf else None
+            hists = self._ext_hists(cid, arenas, params, rel=rel0)
 
             def body(carry, x):
                 arenas, params = carry
@@ -701,8 +716,9 @@ class Engine:
                 slot = base + off
                 valid = slot < cap
                 kp, kr, ka, kq = jax.random.split(key, 4)
-                rel = refresh(cm, arenas, self.obs_dev, exclude_cid=cid,
-                              exclude_slot=slot)
+                rel = rel0 if leaf else \
+                    refresh(cm, arenas, self.obs_dev, exclude_cid=cid,
+                            exclude_slot=slot)
                 env_p, births_p, w_p = self._propose(cid, arenas, rel, params,
                                                      slot, kp, False,
                                                      ext_hists=hists)
@@ -757,14 +773,17 @@ class Engine:
 
         def class_pass(cid, arenas, params, keys):
             cap = caps[cid]
-            hists = self._ext_hists(cid, arenas, params)  # loop-invariant
+            leaf = self._leaf_latent(cid)
+            rel0 = refresh(cm, arenas, self.obs_dev) if leaf else None
+            hists = self._ext_hists(cid, arenas, params, rel=rel0)
 
             def body(carry, x):
                 arenas, params = carry
                 slot, key = x
                 kp, kr, ka, kq = jax.random.split(key, 4)
-                rel = refresh(cm, arenas, self.obs_dev, exclude_cid=cid,
-                              exclude_slot=slot)
+                rel = rel0 if leaf else \
+                    refresh(cm, arenas, self.obs_dev, exclude_cid=cid,
+                            exclude_slot=slot)
                 env_p, births_p, w_p = self._propose(cid, arenas, rel, params,
                                                      slot, kp, False,
                                                      ext_hists=hists)
@@ -821,13 +840,15 @@ class Engine:
 
         def class_pass(cid, arenas, params, keys, n_batches):
             cap = cm.layouts[cid].capacity
-            hists = self._ext_hists(cid, arenas, params)  # loop-invariant
+            leaf = self._leaf_latent(cid)
+            rel0 = refresh(cm, arenas, self.obs_dev) if leaf else None
+            hists = self._ext_hists(cid, arenas, params, rel=rel0)
 
             def body(carry, x):
                 arenas, params = carry
                 bi, bkeys = x  # bkeys: [B, 2]
                 slots = bi * B + jnp.arange(B)
-                rel = refresh(cm, arenas, self.obs_dev)
+                rel = rel0 if leaf else refresh(cm, arenas, self.obs_dev)
                 env2, accept, birthy = jax.vmap(
                     lambda s, k: mh_row_step(self, cid, arenas, rel, params,
                                              s, k, s < cap,
@@ -887,16 +908,19 @@ class Engine:
         R = max(1, self.config.rejuv_frequency // B)
         from .gibbs_params import resample_all
 
+        leaf = self._leaf_latent(cid)
+
         @jax.jit
         def run(arenas, params, base, keys):  # keys: [seg_b*B, 2]
-            hists = self._ext_hists(cid, arenas, params)  # loop-invariant
+            rel0 = refresh(cm, arenas, self.obs_dev) if leaf else None
+            hists = self._ext_hists(cid, arenas, params, rel=rel0)
 
             def body(carry, x):
                 arenas, params = carry
                 i, bkeys = x  # bkeys: [B, 2]
                 bi = base + i
                 slots = bi * B + jnp.arange(B)
-                rel = refresh(cm, arenas, self.obs_dev)
+                rel = rel0 if leaf else refresh(cm, arenas, self.obs_dev)
                 env2, accept, birthy = jax.vmap(
                     lambda s, k: mh_row_step(self, cid, arenas, rel, params,
                                              s, k, s < cap,
