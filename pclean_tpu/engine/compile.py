@@ -139,7 +139,63 @@ def compile_model(model: Model, datasets: Sequence[ObservedDataset],
     _fix_layouts(cm, datasets, capacities or {})
     _collect_param_meta(cm)
     cm.exact_gibbs_ok = _audit_exact_gibbs(cm)
+    cm.ref_bounds = _referrer_bounds(cm)
     return cm
+
+
+def _referrer_bounds(cm: CompiledModel) -> dict:
+    """{path: R} — static upper bounds on how many source rows can refer to
+    ONE row of a hash-keyed latent class along `path`.
+
+    Co-reference requires matching `guaranteed` hash keys (the proposal
+    enumeration masks fk candidates by key equality and births adopt the
+    proposing row's key), so a slot's referrer count is bounded by the
+    largest key-tuple multiplicity in the observed data — a compile-time
+    constant. The engine uses it to compact each slot's referrers into an
+    [R]-length index list, shrinking every per-referrer external term from
+    O(source capacity) to O(R) (rents County: 50,000 -> 1,664 per slot).
+
+    Only single-hop paths from observed classes whose key copies are
+    statically observed qualify; everything else keeps the dense masked
+    path.
+    """
+    from collections import Counter
+
+    out: dict = {}
+    for cid in cm.model.class_order:
+        c = cm.cls(cid)
+        if cm.layouts[cid].observed or not c.hash_keys:
+            continue
+        for path, vmap in c.incoming_references.items():
+            if len(path) != 1:
+                continue
+            src = path[0][0]
+            specs = [s for s in cm.obs_specs if s.class_id == src]
+            if not specs or any(k not in vmap for k in c.hash_keys):
+                continue
+            key_svs = [vmap[k] for k in c.hash_keys]
+            counts: Counter = Counter()
+            ok = True
+            for spec in specs:
+                cols = []
+                for sv in key_svs:
+                    if sv not in spec.columns or not np.all(
+                            np.asarray(spec.columns[sv][1]) == 1):
+                        ok = False
+                        break
+                    cols.append(np.asarray(spec.columns[sv][0]))
+                if not ok:
+                    break
+                counts.update(zip(*cols))
+            if not ok or not counts:
+                continue
+            Cs = cm.layouts[src].capacity
+            R = min(max(counts.values()) + 128, Cs)
+            R += -R % 128  # lane-aligned
+            if R * 4 >= Cs:
+                continue  # no meaningful win over the dense path
+            out[path] = int(R)
+    return out
 
 
 def _statically_observed(cm: CompiledModel, key: tuple) -> bool:

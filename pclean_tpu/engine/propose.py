@@ -133,7 +133,8 @@ class BlockTracer:
     def __init__(self, cm: CompiledModel, cid: ClassID, arenas: dict,
                  rel: dict, params: dict, obs_arrays: dict, obs_row: dict,
                  env0: dict, row_slot, force_retained: bool = False,
-                 ext_hists: Optional[dict] = None):
+                 ext_hists: Optional[dict] = None,
+                 ref_comp: Optional[dict] = None):
         self.cm = cm
         self.cid = cid
         self.arenas = arenas
@@ -151,6 +152,9 @@ class BlockTracer:
         # {(path, ext_id): [cap, V]} referrer-observation histograms hoisted
         # out of the sweep scan (see referrer_histograms below)
         self.ext_hists = ext_hists or {}
+        # {path: (idx [cap, R], cnt [cap])} compacted referrer index lists
+        # (Engine._ref_comp; bounds from compile._referrer_bounds)
+        self.ref_comp = ref_comp or {}
 
     # ---------------------------------------------------------------- utils
 
@@ -378,19 +382,27 @@ class BlockTracer:
         node: ExternalLikelihoodNode = self.node(step.idx)
         path = node.path
         src = path[-1][0]
-        Cs = self.cm.layouts[src].capacity
-        # Referrer mask: chase the fk columns down the path
-        # (collect_referring_rows, row_inference.jl:23-47, vectorized).
-        t = None
-        for (hop_cid, hop_fk) in reversed(path):
-            col = self.arenas[hop_cid]["values"][hop_fk]
-            t = col if t is None else col[t]
-        mask = self.rel[src]["alive"] & (t == self.row_slot)
+        comp = self.ref_comp.get(path)
+        if comp is not None:
+            # compacted referrer axis: this slot's referrer index list
+            # (bounded by the hash-key multiplicity, compile._referrer_bounds)
+            idx_all, cnt = comp
+            slots = idx_all[self.row_slot]                    # [R]
+            mask = jnp.arange(slots.shape[0]) < cnt[self.row_slot]
+        else:
+            Cs = self.cm.layouts[src].capacity
+            # Referrer mask: chase the fk columns down the path
+            # (collect_referring_rows, row_inference.jl:23-47, vectorized).
+            t = None
+            for (hop_cid, hop_fk) in reversed(path):
+                col = self.arenas[hop_cid]["values"][hop_fk]
+                t = col if t is None else col[t]
+            mask = self.rel[src]["alive"] & (t == self.row_slot)
+            slots = jnp.arange(Cs)
 
         vmap = self.cm.cls(self.cid).incoming_references[path]
         inv = {sv: tv for tv, sv in vmap.items()}
         cache: dict[VertexID, Any] = {}
-        slots = jnp.arange(Cs)
 
         def ext_value(svid: VertexID):
             """Value of a source-class vertex over the referrer axis, with
@@ -426,12 +438,13 @@ class BlockTracer:
             return v
 
         terms, presummed = self._ext_terms(step, src, ext_value, cache,
-                                           depth, mask, inv)
+                                           depth, mask, inv, slots,
+                                           comp is not None)
         masked = jnp.where(mask, terms, 0.0)
         return jnp.sum(masked, axis=-1) + presummed
 
     def _ext_terms(self, step: Step, src: ClassID, ext_value, cache,
-                   depth: int, mask, inv):
+                   depth: int, mask, inv, slots, compacted: bool):
         """Returns (per-referrer terms [.., Cs], pre-summed terms [..]).
 
         Table-likelihood externals whose only dynamic argument is an overlay
@@ -444,7 +457,7 @@ class BlockTracer:
         """
         node: ExternalLikelihoodNode = self.node(step.idx)
         ext = node.ext_node
-        Cs = self.cm.layouts[src].capacity
+        Cs = slots.shape[0]  # compacted [R] or full source capacity
         total = jnp.zeros(self._shape(depth) + (Cs,), dtype=jnp.float32)
         presummed = jnp.zeros(self._shape(depth), dtype=jnp.float32)
         if isinstance(ext, (ComputeNode, ParamLookupNode)):
@@ -471,19 +484,30 @@ class BlockTracer:
             kern = self.cm.kernels[self.cm.canon(src, node.ext_id)]
             hist_term = self._ext_hist_term(kern, ext, src, node.ext_id,
                                             mask, inv, depth, ext_value,
-                                            path=node.path)
+                                            path=node.path, slots=slots,
+                                            compacted=compacted)
             if hist_term is not None:
                 presummed = presummed + hist_term
             else:
                 ctx = _Ctx(self, depth, resolver=ext_value)
-                ov, st = self._ext_obs(src, node.ext_id)
+                ov, st = self._ext_obs(src, node.ext_id, slots)
                 if st is None:
-                    total = total + kern.obs_logdensity(ctx, ov)
+                    term = kern.obs_logdensity(ctx, ov)
                 else:
                     obs_t = kern.obs_logdensity(ctx, ov)
                     miss_t = kern.missing_logdensity(ctx) + jnp.zeros_like(obs_t)
-                    total = total + jnp.where(st == 1, obs_t,
-                                              jnp.where(st == 2, miss_t, 0.0))
+                    term = jnp.where(st == 1, obs_t,
+                                     jnp.where(st == 2, miss_t, 0.0))
+                if getattr(term, "ndim", 0) == 1:
+                    # option-independent term (no enumeration axes): sum over
+                    # referrers once instead of broadcasting into the
+                    # [option-axes x Cs] total — at 3275 options x 50k
+                    # referrers that broadcast is 650 MB of pure HBM traffic
+                    # per swept slot (the rents County 45 ms/slot cost)
+                    presummed = presummed + jnp.sum(
+                        jnp.where(mask, term, 0.0), axis=-1)
+                else:
+                    total = total + term
         elif isinstance(ext, ForeignKeyNode):
             raise NotImplementedError(
                 "external foreign-key likelihoods (DPMem-style) unsupported, "
@@ -492,7 +516,7 @@ class BlockTracer:
             cn = self.node(child.idx)
             assert isinstance(cn, ExternalLikelihoodNode)
             t2, p2 = self._ext_terms(child, src, ext_value, cache, depth,
-                                     mask, inv)
+                                     mask, inv, slots, compacted)
             total = total + t2
             presummed = presummed + p2
         return total, presummed
@@ -503,7 +527,7 @@ class BlockTracer:
 
     def _ext_hist_term(self, kern, ext: ChoiceNode, src: ClassID,
                        ext_id: VertexID, mask, inv, depth: int, ext_value,
-                       path=None):
+                       path=None, slots=None, compacted: bool = False):
         """Histogram-matmul path for AddTypos externals: the per-referrer sum
         Σ_r M[obs_r, word_r] collapses to a histogram (scatter) times the
         likelihood matrix (one MXU matvec) whenever `word` is a function of
@@ -526,11 +550,11 @@ class BlockTracer:
         word_sv = ext.arg_ids.get("word")
         if word_sv is None:
             return None
-        val, st = self._ext_obs(src, ext_id)
+        val, st = self._ext_obs(src, ext_id, slots)
         w = mask if st is None else (mask & (st != 2))
         V = kern.V
         if word_sv in inv and inv[word_sv] in self.env:
-            pre = self.ext_hists.get((path, ext_id))
+            pre = None if compacted else self.ext_hists.get((path, ext_id))
             if pre is not None:
                 # hoisted: one [cap, V] scatter per sweep segment instead of
                 # one [Cs] scatter per swept slot (referrer_histograms)
@@ -587,14 +611,18 @@ class BlockTracer:
             termvec = jnp.reshape(termvec, SA.shape[:len(env_args)])
         return termvec[tuple(env_idx)]
 
-    def _ext_obs(self, src: ClassID, svid: VertexID):
-        """Observed (value, state) arrays of a source-class vertex over its
-        capacity, falling back to stored/derived row values (the reference
-        scores active_parent_trace[ext_id], block_proposal.jl:139-152)."""
-        slots = jnp.arange(self.cm.layouts[src].capacity)
+    def _ext_obs(self, src: ClassID, svid: VertexID, slots=None):
+        """Observed (value, state) arrays of a source-class vertex over
+        `slots` (default: the full capacity), falling back to stored/derived
+        row values (the reference scores active_parent_trace[ext_id],
+        block_proposal.jl:139-152)."""
+        if slots is None:
+            slots = jnp.arange(self.cm.layouts[src].capacity)
         oa = self.obs_arrays.get(src, {}).get(svid)
         if oa is not None:
             codes, state = oa
+            codes = jnp.asarray(codes)[slots]
+            state = jnp.asarray(state)[slots]
             stored = self.row_value(src, svid, slots)
             val = jnp.where(state == 1, codes, stored)
             return val, state

@@ -177,7 +177,7 @@ def _apply_batch(cm: CompiledModel, cid: ClassID, arenas: dict, slots,
 
 
 def mh_row_step(eng, cid: ClassID, arenas: dict, rel: dict, params: dict,
-                s, k, valid, ext_hists=None):
+                s, k, valid, ext_hists=None, ref_comp=None):
     """One row's MH rejuvenation decision against a (possibly frozen)
     relational snapshot: propose fresh, optionally score retained, accept by
     the MH rule (row_inference.jl:161-163). Shared verbatim by the
@@ -188,7 +188,8 @@ def mh_row_step(eng, cid: ClassID, arenas: dict, rel: dict, params: dict,
     cm = eng.cm
     kp, kr, ka = jax.random.split(k, 3)
     env_p, w_p, births = eng._propose_packed(cid, arenas, rel, params, s, kp,
-                                             False, ext_hists=ext_hists)
+                                             False, ext_hists=ext_hists,
+                                             ref_comp=ref_comp)
     alive = arenas[cid]["alive"][s] if cm.layouts[cid].observed \
         else rel[cid]["alive"][s]
     alive = alive & valid
@@ -199,7 +200,8 @@ def mh_row_step(eng, cid: ClassID, arenas: dict, rel: dict, params: dict,
         accept = alive
     else:
         _er, w_r, _b = eng._propose_packed(cid, arenas, rel, params, s, kr,
-                                           True, ext_hists=ext_hists)
+                                           True, ext_hists=ext_hists,
+                                           ref_comp=ref_comp)
         accept = (jnp.log(jax.random.uniform(ka)) < (w_p - w_r)) & alive
     return env_p, accept & ~birthy, birthy & alive
 
@@ -293,6 +295,40 @@ class Engine:
         return referrer_histograms(self.cm, cid, arenas, params, rel,
                                    self.obs_dev)
 
+    def _ref_comp(self, cid, arenas, rel):
+        """{path: (idx [cap, R], cnt [cap])} — per-slot referrer index
+        lists for class cid's hash-key-bounded referring paths
+        (compile._referrer_bounds). Loop-invariant during cid's own sweep
+        (same argument as _ext_hists); one argsort of the source fk column
+        per segment. Unused idx entries hold the source capacity (gathers
+        clamp; terms are masked by cnt)."""
+        cm = self.cm
+        out = {}
+        for path, R in getattr(cm, "ref_bounds", {}).items():
+            src, fkv = path[0]
+            node = cm.node(src, fkv)
+            tc = node.target_class if hasattr(node, "target_class") else None
+            if tc != cid:
+                continue
+            cap = cm.layouts[cid].capacity
+            Cs = cm.layouts[src].capacity
+            t = arenas[src]["values"][fkv]
+            alive = rel[src]["alive"]
+            tm = jnp.where(alive, t, cap).astype(jnp.int32)
+            order = jnp.argsort(tm)  # stable: ranks are deterministic
+            st_ = tm[order]
+            newgrp = jnp.concatenate(
+                [jnp.ones((1,), bool), st_[1:] != st_[:-1]])
+            gstart = jnp.where(newgrp, jnp.arange(Cs), 0)
+            start = jax.lax.associative_scan(jnp.maximum, gstart)
+            rank = jnp.arange(Cs) - start
+            idx = jnp.full((cap, R), Cs, jnp.int32).at[st_, rank].set(
+                order.astype(jnp.int32), mode="drop")
+            cnt = jnp.zeros((cap,), jnp.int32).at[tm].add(
+                jnp.where(alive, 1, 0), mode="drop")
+            out[path] = (idx, cnt)
+        return out
+
     def _leaf_latent(self, cid) -> bool:
         """Latent class with no outgoing fks: its exclude-refresh is a
         no-op (live_mask exclusion only affects classes cid refers to) and
@@ -333,7 +369,7 @@ class Engine:
         return out
 
     def _propose(self, cid, arenas, rel, params, slot, key, force_retained,
-                 ext_hists=None):
+                 ext_hists=None, ref_comp=None):
         cm = self.cm
         c = cm.cls(cid)
         obs_row = self._obs_row_slices(cid, slot, rel)
@@ -344,7 +380,7 @@ class Engine:
             key, sub = jax.random.split(key)
             tr = BlockTracer(cm, cid, arenas, rel, params, self.obs_dev,
                              obs_row, env2, slot, force_retained=force_retained,
-                             ext_hists=ext_hists)
+                             ext_hists=ext_hists, ref_comp=ref_comp)
             logZ, res = tr.run(plan, sub)
             env2 = res.env
             births.extend(res.births)
@@ -352,10 +388,11 @@ class Engine:
         return env2, births, w
 
     def _propose_packed(self, cid, arenas, rel, params, slot, key,
-                        force_retained, ext_hists=None):
+                        force_retained, ext_hists=None, ref_comp=None):
         """vmap-friendly wrapper: pytree outputs only (Birth is unpacked)."""
         env2, births, w = self._propose(cid, arenas, rel, params, slot, key,
-                                        force_retained, ext_hists=ext_hists)
+                                        force_retained, ext_hists=ext_hists,
+                                        ref_comp=ref_comp)
         traced = [{"is_new": b.is_new, "slot": b.slot, "values": b.values}
                   for b in births]
         return env2, w, traced
@@ -707,8 +744,10 @@ class Engine:
 
         @jax.jit
         def run(arenas, params, base, keys):
-            rel0 = refresh(cm, arenas, self.obs_dev) if leaf else None
-            hists = self._ext_hists(cid, arenas, params, rel=rel0)
+            relc = refresh(cm, arenas, self.obs_dev)
+            rel0 = relc if leaf else None
+            hists = self._ext_hists(cid, arenas, params, rel=relc)
+            comp = self._ref_comp(cid, arenas, relc)
 
             def body(carry, x):
                 arenas, params = carry
@@ -721,7 +760,8 @@ class Engine:
                             exclude_slot=slot)
                 env_p, births_p, w_p = self._propose(cid, arenas, rel, params,
                                                      slot, kp, False,
-                                                     ext_hists=hists)
+                                                     ext_hists=hists,
+                                                     ref_comp=comp)
                 alive = arenas[cid]["alive"][slot] if cm.layouts[cid].observed \
                     else rel[cid]["alive"][slot]
                 if self.exact_accept:
@@ -729,7 +769,8 @@ class Engine:
                 else:
                     _er, _br, w_r = self._propose(cid, arenas, rel, params,
                                                   slot, kr, True,
-                                                  ext_hists=hists)
+                                                  ext_hists=hists,
+                                                  ref_comp=comp)
                     accept = (jnp.log(jax.random.uniform(ka))
                               < (w_p - w_r)) & alive & valid
                 arenas = apply_row(cm, cid, arenas, slot, env_p, births_p,
@@ -774,8 +815,10 @@ class Engine:
         def class_pass(cid, arenas, params, keys):
             cap = caps[cid]
             leaf = self._leaf_latent(cid)
-            rel0 = refresh(cm, arenas, self.obs_dev) if leaf else None
-            hists = self._ext_hists(cid, arenas, params, rel=rel0)
+            relc = refresh(cm, arenas, self.obs_dev)
+            rel0 = relc if leaf else None
+            hists = self._ext_hists(cid, arenas, params, rel=relc)
+            comp = self._ref_comp(cid, arenas, relc)
 
             def body(carry, x):
                 arenas, params = carry
@@ -786,7 +829,8 @@ class Engine:
                             exclude_slot=slot)
                 env_p, births_p, w_p = self._propose(cid, arenas, rel, params,
                                                      slot, kp, False,
-                                                     ext_hists=hists)
+                                                     ext_hists=hists,
+                                                     ref_comp=comp)
                 alive = arenas[cid]["alive"][slot] if cm.layouts[cid].observed \
                     else rel[cid]["alive"][slot]
                 if self.exact_accept:
@@ -794,7 +838,8 @@ class Engine:
                 else:
                     _er, _br, w_r = self._propose(cid, arenas, rel, params,
                                                   slot, kr, True,
-                                                  ext_hists=hists)
+                                                  ext_hists=hists,
+                                                  ref_comp=comp)
                     accept = (jnp.log(jax.random.uniform(ka))
                               < (w_p - w_r)) & alive
                 arenas = apply_row(cm, cid, arenas, slot, env_p, births_p,
@@ -841,8 +886,10 @@ class Engine:
         def class_pass(cid, arenas, params, keys, n_batches):
             cap = cm.layouts[cid].capacity
             leaf = self._leaf_latent(cid)
-            rel0 = refresh(cm, arenas, self.obs_dev) if leaf else None
-            hists = self._ext_hists(cid, arenas, params, rel=rel0)
+            relc = refresh(cm, arenas, self.obs_dev)
+            rel0 = relc if leaf else None
+            hists = self._ext_hists(cid, arenas, params, rel=relc)
+            comp = self._ref_comp(cid, arenas, relc)
 
             def body(carry, x):
                 arenas, params = carry
@@ -852,7 +899,8 @@ class Engine:
                 env2, accept, birthy = jax.vmap(
                     lambda s, k: mh_row_step(self, cid, arenas, rel, params,
                                              s, k, s < cap,
-                                             ext_hists=hists))(slots, bkeys)
+                                             ext_hists=hists,
+                                             ref_comp=comp))(slots, bkeys)
                 arenas = _apply_batch(cm, cid, arenas, slots, env2, accept,
                                       mark_alive=False)
                 kq = jax.random.fold_in(bkeys[0], 7)
@@ -912,8 +960,10 @@ class Engine:
 
         @jax.jit
         def run(arenas, params, base, keys):  # keys: [seg_b*B, 2]
-            rel0 = refresh(cm, arenas, self.obs_dev) if leaf else None
-            hists = self._ext_hists(cid, arenas, params, rel=rel0)
+            relc = refresh(cm, arenas, self.obs_dev)
+            rel0 = relc if leaf else None
+            hists = self._ext_hists(cid, arenas, params, rel=relc)
+            comp = self._ref_comp(cid, arenas, relc)
 
             def body(carry, x):
                 arenas, params = carry
@@ -924,7 +974,8 @@ class Engine:
                 env2, accept, birthy = jax.vmap(
                     lambda s, k: mh_row_step(self, cid, arenas, rel, params,
                                              s, k, s < cap,
-                                             ext_hists=hists))(slots, bkeys)
+                                             ext_hists=hists,
+                                             ref_comp=comp))(slots, bkeys)
                 arenas = _apply_batch(cm, cid, arenas, slots, env2, accept,
                                       mark_alive=False)
                 kq = jax.random.fold_in(bkeys[0], 7)
