@@ -1080,21 +1080,41 @@ class Engine:
                 else:
                     run, nb, seg_b = self.scan_init_batched(
                         cid, spec.num_rows, B)
-                    parts = []
+                    # Replay entity-birthing rows PER SEGMENT, not at the
+                    # end: births only materialize through the sequential
+                    # replay (the batched pass defers them), so an
+                    # end-of-pass replay leaves the whole batched pass
+                    # running against an empty latent DB — every row flags
+                    # birthy and init degenerates to sequential. Per-segment
+                    # replay seeds the entities after the first segment and
+                    # later segments mostly reuse them.
+                    step = None
+                    key, bulk = jax.random.split(key)
+                    rkeys = jax.random.split(bulk, nb * B)
+                    n_replayed = 0
                     for base in range(0, nb, seg_b):
                         key, bulk = jax.random.split(key)
                         seg_keys = jax.random.split(bulk, seg_b * B)
                         arenas, params, fl = run(arenas, params, base,
                                                  seg_keys)
                         self._sync(arenas, cid)
-                        parts.append(np.asarray(fl))
-                        if progress:
-                            done = min((base + seg_b) * B, spec.num_rows)
-                            if (done // progress) != (base * B // progress):
-                                print(f"Initialized ~{done} of "
-                                      f"{spec.num_rows} rows for {cid}")
-                    flags = np.concatenate(parts)
-                # exact sequential replay of rows that birth latent entities
+                        lo = base * B
+                        hi = min((base + seg_b) * B, spec.num_rows)
+                        idx = np.flatnonzero(np.asarray(fl)[: hi - lo]) + lo
+                        if idx.size:
+                            if step is None:
+                                step = self.init_step(cid)
+                            for s in idx:
+                                arenas = step(arenas, params, int(s), rkeys)
+                            n_replayed += idx.size
+                        if progress and (hi // progress) != (lo // progress):
+                            print(f"Initialized ~{hi} of {spec.num_rows} "
+                                  f"rows for {cid}")
+                    if progress:
+                        print(f"Initialized {spec.num_rows} rows for {cid} "
+                              f"(batched B={B}, {n_replayed} replayed)")
+                    continue
+                # sharded path: exact sequential replay at the end
                 idx = np.flatnonzero(flags[: spec.num_rows])
                 if idx.size:
                     step = self.init_step(cid)
