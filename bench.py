@@ -95,8 +95,12 @@ def main():
     wl["flights"] = run_workload(flights.setup, "Obs", warm=True)
     wl["rents"] = run_workload(rents.setup, "Obs", warm=True)
     # BASELINE.md scaled config: hospital tiled to 100k synthetic rows
+    # (batch 64 blocked-Gibbs — bias measured in STATUS.md's table). The
+    # 1,024-particle PG config runs via `experiments/hospital.py
+    # --particles 1024` (STATUS.md) — its one-time program compile is tens
+    # of minutes on a tunneled chip, too slow for this entry point.
     wl["hospital_100k"] = run_workload(hospital.setup, "Record", warm=False,
-                                       repeat=100)
+                                       repeat=100, batch=64)
 
     head = wl["hospital_100k"]
     print(json.dumps({
