@@ -1070,61 +1070,46 @@ class Engine:
             if cfg.use_scan and cfg.batch_rows > 1:
                 B = cfg.batch_rows
                 if self.sharded is not None:
-                    run, nb = self.sharded.scan_init_batched(
+                    run, nb, seg_b = self.sharded.scan_init_batched(
                         cid, spec.num_rows, B)
-                    key, bulk = jax.random.split(key)
-                    keys = jax.random.split(bulk, nb * B)
-                    arenas, params, flags = run(arenas, params, keys)
-                    self._sync(arenas, cid)
-                    flags = _fetch_np(flags)
                 else:
                     run, nb, seg_b = self.scan_init_batched(
                         cid, spec.num_rows, B)
-                    # Replay entity-birthing rows PER SEGMENT, not at the
-                    # end: births only materialize through the sequential
-                    # replay (the batched pass defers them), so an
-                    # end-of-pass replay leaves the whole batched pass
-                    # running against an empty latent DB — every row flags
-                    # birthy and init degenerates to sequential. Per-segment
-                    # replay seeds the entities after the first segment and
-                    # later segments mostly reuse them.
-                    step = None
+                # Replay entity-birthing rows PER SEGMENT, not at the end:
+                # births only materialize through the sequential replay (the
+                # batched pass defers them), so an end-of-pass replay leaves
+                # the whole batched pass running against an empty latent DB
+                # — every row flags birthy and init degenerates to
+                # sequential. Per-segment replay seeds the entities after
+                # the first segment and later segments mostly reuse them.
+                # The loop (and its key stream) is identical for the
+                # sharded and single-device programs, so their results
+                # match bitwise (tests/test_sharded_equiv.py).
+                step = None
+                key, bulk = jax.random.split(key)
+                rkeys = jax.random.split(bulk, nb * B)
+                n_replayed = 0
+                for base in range(0, nb, seg_b):
                     key, bulk = jax.random.split(key)
-                    rkeys = jax.random.split(bulk, nb * B)
-                    n_replayed = 0
-                    for base in range(0, nb, seg_b):
-                        key, bulk = jax.random.split(key)
-                        seg_keys = jax.random.split(bulk, seg_b * B)
-                        arenas, params, fl = run(arenas, params, base,
-                                                 seg_keys)
-                        self._sync(arenas, cid)
-                        lo = base * B
-                        hi = min((base + seg_b) * B, spec.num_rows)
-                        idx = np.flatnonzero(np.asarray(fl)[: hi - lo]) + lo
-                        if idx.size:
-                            if step is None:
-                                step = self.init_step(cid)
-                            for s in idx:
-                                arenas = step(arenas, params, int(s), rkeys)
-                            n_replayed += idx.size
-                        if progress and (hi // progress) != (lo // progress):
-                            print(f"Initialized ~{hi} of {spec.num_rows} "
-                                  f"rows for {cid}")
-                    if progress:
-                        print(f"Initialized {spec.num_rows} rows for {cid} "
-                              f"(batched B={B}, {n_replayed} replayed)")
-                    continue
-                # sharded path: exact sequential replay at the end
-                idx = np.flatnonzero(flags[: spec.num_rows])
-                if idx.size:
-                    step = self.init_step(cid)
-                    key, bulk = jax.random.split(key)
-                    rkeys = jax.random.split(bulk, nb * B)
-                    for s in idx:
-                        arenas = step(arenas, params, int(s), rkeys)
+                    seg_keys = jax.random.split(bulk, seg_b * B)
+                    arenas, params, fl = run(arenas, params, base,
+                                             seg_keys)
+                    self._sync(arenas, cid)
+                    lo = base * B
+                    hi = min((base + seg_b) * B, spec.num_rows)
+                    idx = np.flatnonzero(_fetch_np(fl)[: hi - lo]) + lo
+                    if idx.size:
+                        if step is None:
+                            step = self.init_step(cid)
+                        for s in idx:
+                            arenas = step(arenas, params, int(s), rkeys)
+                        n_replayed += idx.size
+                    if progress and (hi // progress) != (lo // progress):
+                        print(f"Initialized ~{hi} of {spec.num_rows} "
+                              f"rows for {cid}")
                 if progress:
                     print(f"Initialized {spec.num_rows} rows for {cid} "
-                          f"(batched B={B}, {idx.size} replayed)")
+                          f"(batched B={B}, {n_replayed} replayed)")
                 continue
             step = self.init_step(cid)
             B = max(1, cfg.batch_rows)

@@ -147,9 +147,17 @@ class ShardedEngine:
         per-row math are shared with the single-device path (init_row_step),
         so results are identical given identical keys.
 
-        Returns (run(arenas, params, keys[nb*B, 2]) -> (arenas, params,
-        flags[nb*B]), nb)."""
-        key = ("scan_init_b", cid, B, num_rows)
+        Dispatched in segments of `seg_b` batches with a `base` batch
+        offset — the same contract as the single-device program, so the
+        driver's segment loop (key stream and per-segment birth replay) is
+        shared verbatim between the two.
+
+        Returns (run(arenas, params, base, keys[seg_b*B, 2]) -> (arenas,
+        params, flags[seg_b*B]), nb, seg_b)."""
+        seg_b = max(1, min(self.eng.config.scan_segment, num_rows) // B)
+        nb = (num_rows + B - 1) // B
+        seg_b = min(seg_b, nb)
+        key = ("scan_init_b", cid, B, num_rows, seg_b)
         if key in self._fns:
             return self._fns[key]
         eng = self.eng
@@ -157,25 +165,25 @@ class ShardedEngine:
         nd = self.mesh.shape["data"]
         assert B % nd == 0, "batch_rows must divide over the data axis"
         Bl = B // nd
-        nb = (num_rows + B - 1) // B
         R = max(1, eng.config.rejuv_frequency // B)
         from ..engine.gibbs_params import resample_all
         from ..engine.smc import init_row_step
 
-        def local(arenas, params, keys):  # all replicated in-shard
+        def local(arenas, params, base, keys):  # all replicated in-shard
             me = jax.lax.axis_index("data")
 
-            def body(carry, bi):
+            def body(carry, i):
                 arenas, params = carry
+                bi = base + i
                 ls = bi * B + me * Bl + jnp.arange(Bl)
-                bkeys = keys[ls]
+                bkeys = keys[i * B + me * Bl + jnp.arange(Bl)]
                 rel = refresh(cm, arenas, eng.obs_dev)
                 env2, ok, birthy = jax.vmap(
                     lambda s, k: init_row_step(eng, cid, arenas, rel, params,
                                                s, k, s < num_rows))(ls, bkeys)
                 arenas = _scatter_apply(cm, cid, arenas, ls, env2, ok,
                                         mark_alive=True, axis="data")
-                kq = jax.random.fold_in(keys[bi * B], 7)
+                kq = jax.random.fold_in(keys[i * B], 7)
                 do = ((bi + 1) % R) == 0
                 arenas, params = jax.lax.cond(
                     do,
@@ -185,22 +193,22 @@ class ShardedEngine:
                 return (arenas, params), birthy
 
             (arenas, params), flags = jax.lax.scan(
-                body, (arenas, params), jnp.arange(nb))
-            return arenas, params, flags  # [nb, Bl] per shard
+                body, (arenas, params), jnp.arange(seg_b))
+            return arenas, params, flags  # [seg_b, Bl] per shard
 
         smapped = jax.jit(jax.shard_map(
             local, mesh=self.mesh,
-            in_specs=(P(), P(), P()),
+            in_specs=(P(), P(), P(), P()),
             out_specs=(P(), P(), P(None, "data"))))
 
-        def wrapped(arenas, params, keys):
+        def wrapped(arenas, params, base, keys):
             arenas, params, keys = self._place(arenas, params,
                                                ((keys, P()),))
-            arenas, params, flags = smapped(arenas, params, keys)
+            arenas, params, flags = smapped(arenas, params, base, keys)
             return arenas, params, flags.reshape(-1)
 
-        self._fns[key] = (wrapped, nb)
-        return wrapped, nb
+        self._fns[key] = (wrapped, nb, seg_b)
+        return wrapped, nb, seg_b
 
     def scan_sweep_all_batched(self, B: int):
         """Row-sharded twin of Engine.scan_sweep_all_batched: every class's
