@@ -574,7 +574,12 @@ class Engine:
 
         Returns (run(arenas, params, base, keys[seg,2]) -> (arenas, params,
         log_ml), seg)."""
-        seg = min(self.config.scan_segment, num_rows)
+        # per-dispatch device time scales with rows x particles: shrink the
+        # segment by the particle count (a 512-row x 1024-particle dispatch
+        # runs for hours and outlives any tunneled-worker patience)
+        seg = max(1, min(self.config.scan_segment,
+                         self.config.scan_segment * 8 // max(1, P)))
+        seg = min(seg, num_rows)
         ck = ("scan_init_pg", cid, seg, num_rows, P)
         if ck in self._init_step_fns:
             return self._init_step_fns[ck]
@@ -626,7 +631,10 @@ class Engine:
         slot with P particles (particle 1 retained, categorical selection —
         row_inference.jl:143-145,164) as one scanned program."""
         cap = self.cm.layouts[cid].capacity
-        seg = min(self.config.scan_segment, cap)
+        # dispatch time ~ rows x particles (see scan_init_pg)
+        seg = max(1, min(self.config.scan_segment,
+                         self.config.scan_segment * 8 // max(1, P)))
+        seg = min(seg, cap)
         ck = ("scan_sweep_pg", cid, seg, P)
         if ck in self._rejuv_step_fns:
             return self._rejuv_step_fns[ck]
