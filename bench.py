@@ -90,17 +90,28 @@ def main():
     import rents
 
     wl = {}
+
+    def attempt(name, *args, **kw):
+        # one crashed workload (e.g. a tunneled-worker kill mid-run) must
+        # not zero out every other measurement in the JSON line
+        try:
+            wl[name] = run_workload(*args, **kw)
+        except Exception as e:  # noqa: BLE001
+            wl[name] = {"error": f"{type(e).__name__}: {e}"[:300],
+                        "f1": 0.0, "rows_per_sec": 0.0, "init_sec": 0.0,
+                        "sweep_sec": 0.0}
+
     # reference CI configs (BASELINE.md rows 2-4)
-    wl["hospital"] = run_workload(hospital.setup, "Record", warm=True)
-    wl["flights"] = run_workload(flights.setup, "Obs", warm=True)
-    wl["rents"] = run_workload(rents.setup, "Obs", warm=True)
+    attempt("hospital", hospital.setup, "Record", warm=True)
+    attempt("flights", flights.setup, "Obs", warm=True)
+    attempt("rents", rents.setup, "Obs", warm=True)
     # BASELINE.md scaled config: hospital tiled to 100k synthetic rows
     # (batch 64 blocked-Gibbs — bias measured in STATUS.md's table). The
     # 1,024-particle PG config runs via `experiments/hospital.py
     # --particles 1024` (STATUS.md) — its one-time program compile is tens
     # of minutes on a tunneled chip, too slow for this entry point.
-    wl["hospital_100k"] = run_workload(hospital.setup, "Record", warm=False,
-                                       repeat=100, batch=64)
+    attempt("hospital_100k", hospital.setup, "Record", warm=False,
+            repeat=100, batch=64)
 
     head = wl["hospital_100k"]
     print(json.dumps({
