@@ -6,6 +6,18 @@ The headline metric is the BASELINE.md scaled config (hospital tiled to
 100k rows); the extras carry driver-checkable F1 + timing for all three
 reference workloads (reference CI runs all three: .travis.yml:9-15).
 
+Survivability contract (round-3 fix for the empty BENCH_r02): the bench
+holds itself to a hard wall-clock budget (PCLEAN_BENCH_BUDGET_SEC, default
+1200 s) enforced by a daemon watchdog thread. Results are recorded
+incrementally as each workload finishes; when the budget expires — even if
+the main thread is wedged inside a device RPC that Python signals cannot
+interrupt — the watchdog prints the final JSON line from everything that
+completed and hard-exits. SIGTERM gets the same treatment, so a driver
+timeout can no longer yield an empty file. Workloads run in fixed order
+(hospital -> scaled 100k -> flights -> rents) so the headline completes
+earliest after the shared first-compile warmup, and the warm pass is
+skipped when the remaining budget is tight.
+
 Protocol per workload: build the compiled model, load/compile every step
 program with one full throwaway pass (small workloads only), then time a
 fresh inference run with true execution barriers (utils.device_sync — NOT
@@ -26,7 +38,9 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -36,6 +50,80 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 # Lew et al. AISTATS 2021 (PMLR v130): 2.2M rows / ~7.5 h single-core Julia.
 JULIA_BASELINE_ROWS_PER_SEC = 81.0
 BASELINE_ANCHOR = "AISTATS21 paper: 2.2M rows in ~7.5h single-core (~81 rows/s)"
+
+BUDGET_SEC = float(os.environ.get("PCLEAN_BENCH_BUDGET_SEC", "1200"))
+_T_START = time.time()
+
+# Shared mutable record of everything measured so far; the watchdog and the
+# normal exit path both read it.  Guarded by _LOCK; _EMITTED ensures the one
+# JSON line is printed exactly once no matter which path wins.
+_WL: dict = {}
+_LOCK = threading.Lock()
+_EMITTED = threading.Event()
+
+
+def _remaining():
+    return BUDGET_SEC - (time.time() - _T_START)
+
+
+def _log(msg):
+    print(f"[bench +{time.time() - _T_START:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def emit(reason):
+    """Print the single JSON line from whatever has completed. Idempotent."""
+    if _EMITTED.is_set():
+        return
+    _EMITTED.set()
+    with _LOCK:
+        wl = dict(_WL)
+    head = wl.get("hospital_100k")
+    if head and "rows_per_sec" in head and head.get("rows_per_sec"):
+        metric, value = "hospital_100k_rows_cleaned_per_sec", head["rows_per_sec"]
+    elif wl.get("hospital", {}).get("rows_per_sec"):
+        # scaled config didn't finish: fall back to the reference-config
+        # hospital number so the record is never empty
+        head = wl["hospital"]
+        metric, value = "hospital_rows_cleaned_per_sec", head["rows_per_sec"]
+    else:
+        head = {}
+        metric, value = "hospital_100k_rows_cleaned_per_sec", 0.0
+    line = {
+        "metric": metric,
+        "value": value,
+        "unit": "rows/s",
+        "vs_baseline": round(value / JULIA_BASELINE_ROWS_PER_SEC, 2),
+        "baseline_anchor": BASELINE_ANCHOR,
+        "budget_sec": BUDGET_SEC,
+        "elapsed_sec": round(time.time() - _T_START, 1),
+        "exit_reason": reason,
+        "workloads": wl,
+    }
+    for name in ("hospital", "flights", "rents", "hospital_100k"):
+        if name in wl and "f1" in wl[name]:
+            line[f"{name}_f1"] = wl[name]["f1"]
+        if name in wl and "rows_per_sec" in wl[name]:
+            line[f"{name}_rows_per_sec"] = wl[name]["rows_per_sec"]
+    print(json.dumps(line), flush=True)
+
+
+def _watchdog():
+    # A plain daemon thread: immune to the main thread being stuck inside a
+    # blocking PJRT RPC (where Python-level signal handlers never run).
+    while not _EMITTED.is_set():
+        if _remaining() <= 0:
+            _log("budget expired — emitting partial results and exiting")
+            emit("budget_expired")
+            sys.stdout.flush()
+            os._exit(0)
+        time.sleep(min(5.0, max(0.5, _remaining())))
+
+
+def _on_sigterm(signum, frame):
+    emit("sigterm")
+    sys.stdout.flush()
+    os._exit(0)
 
 
 def run_workload(setup_fn, obs_class, warm, seed=0, **setup_kw):
@@ -83,57 +171,64 @@ def run_workload(setup_fn, obs_class, warm, seed=0, **setup_kw):
 
 
 def main():
-    import jax
-
     import flights
     import hospital
     import rents
 
-    wl = {}
+    def attempt(name, setup_fn, obs_class, min_budget, warm, **kw):
+        """Run one workload; record its result (or error) incrementally.
 
-    def attempt(name, *args, **kw):
-        # one crashed workload (e.g. a tunneled-worker kill mid-run) must
-        # not zero out every other measurement in the JSON line
+        min_budget: skip (with a marker) when less than this many seconds
+        remain — better an explicit skip than a half-run the watchdog
+        truncates.  The warm pass is dropped first when budget is tight.
+        """
+        rem = _remaining()
+        if rem < min_budget:
+            _log(f"{name}: skipped ({rem:.0f}s left < {min_budget}s needed)")
+            with _LOCK:
+                _WL[name] = {"skipped": f"{rem:.0f}s budget left"}
+            return
+        if warm and rem < 2.5 * min_budget:
+            _log(f"{name}: dropping warm pass ({rem:.0f}s left)")
+            warm = False
+        _log(f"{name}: starting (warm={warm}, {rem:.0f}s left)")
         try:
-            wl[name] = run_workload(*args, **kw)
+            res = run_workload(setup_fn, obs_class, warm, **kw)
+            with _LOCK:
+                _WL[name] = res
+            _log(f"{name}: done {res}")
         except Exception as e:  # noqa: BLE001
-            wl[name] = {"error": f"{type(e).__name__}: {e}"[:300],
-                        "f1": 0.0, "rows_per_sec": 0.0, "init_sec": 0.0,
-                        "sweep_sec": 0.0}
+            # one crashed workload (e.g. a tunneled-worker kill mid-run) must
+            # not zero out every other measurement in the JSON line
+            with _LOCK:
+                _WL[name] = {"error": f"{type(e).__name__}: {e}"[:300],
+                             "f1": 0.0, "rows_per_sec": 0.0}
+            _log(f"{name}: FAILED {_WL[name]['error']}")
 
-    # reference CI configs (BASELINE.md rows 2-4)
-    attempt("hospital", hospital.setup, "Record", warm=True)
-    attempt("flights", flights.setup, "Obs", warm=True)
-    attempt("rents", rents.setup, "Obs", warm=True)
+    # Fixed order: the warmed hospital run pays the shared first-compile cost
+    # and anchors the record; the scaled headline goes second so it completes
+    # even if the long rents tail would blow the budget.
+    attempt("hospital", hospital.setup, "Record", min_budget=120, warm=True)
     # BASELINE.md scaled config: hospital tiled to 100k synthetic rows
     # (batch 64 blocked-Gibbs — bias measured in STATUS.md's table). The
     # 1,024-particle PG config runs via `experiments/hospital.py
     # --particles 1024` (STATUS.md) — its one-time program compile is tens
     # of minutes on a tunneled chip, too slow for this entry point.
-    attempt("hospital_100k", hospital.setup, "Record", warm=False,
-            repeat=100, batch=64)
+    attempt("hospital_100k", hospital.setup, "Record", min_budget=180,
+            warm=False, repeat=100, batch=64)
+    attempt("flights", flights.setup, "Obs", min_budget=90, warm=True)
+    attempt("rents", rents.setup, "Obs", min_budget=150, warm=True)
 
-    head = wl["hospital_100k"]
-    print(json.dumps({
-        "metric": "hospital_100k_rows_cleaned_per_sec",
-        "value": head["rows_per_sec"],
-        "unit": "rows/s",
-        "vs_baseline": round(head["rows_per_sec"]
-                             / JULIA_BASELINE_ROWS_PER_SEC, 2),
-        "baseline_anchor": BASELINE_ANCHOR,
-        "hospital_f1": wl["hospital"]["f1"],
-        "flights_f1": wl["flights"]["f1"],
-        "rents_f1": wl["rents"]["f1"],
-        "hospital_100k_f1": head["f1"],
-        "hospital_rows_per_sec": wl["hospital"]["rows_per_sec"],
-        "flights_rows_per_sec": wl["flights"]["rows_per_sec"],
-        "rents_rows_per_sec": wl["rents"]["rows_per_sec"],
-        "init_sec": wl["hospital"]["init_sec"],
-        "sweep_sec": wl["hospital"]["sweep_sec"],
-        "workloads": wl,
-        "device": str(jax.devices()[0]),
-    }))
+    try:
+        import jax
+        with _LOCK:
+            _WL["device"] = str(jax.devices()[0])
+    except Exception:  # noqa: BLE001
+        pass
+    emit("completed")
 
 
 if __name__ == "__main__":
+    signal.signal(signal.SIGTERM, _on_sigterm)
+    threading.Thread(target=_watchdog, daemon=True).start()
     main()
