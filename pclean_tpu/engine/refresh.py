@@ -71,6 +71,88 @@ def propagated_obs_specs(cm: CompiledModel):
     return specs
 
 
+def row_delta(cm: CompiledModel, rel: dict, arenas: dict, obs_arrays: dict,
+              cid: ClassID, slot, sign: int) -> dict:
+    """rel ± one observed-class row's outgoing relational contributions.
+
+    The incremental twin of `refresh`: where refresh recomputes every
+    reference count / liveness flag / propagated observation as an O(N)
+    dense reduction, this applies the exact point deltas of adding
+    (sign=+1) or removing (sign=-1) row `slot` of observed class `cid` —
+    the functional equivalent of the reference's incorporate_row! /
+    unincorporate_row! (dependency_tracking.jl:26-41,71-84, refer_to_row!
+    :205-236, unrefer_to_row! :162-202 incl. transitive GC) in
+    O(fk-chain-depth) scalar scatter/gathers. Invariant (tested in
+    tests/test_incremental.py): starting from rel == refresh(arenas),
+    row_delta(-1) == refresh(arenas, exclude_cid=cid, exclude_slot=slot),
+    and after any rewrite of row `slot`'s columns, row_delta(+1) on the
+    new arenas == refresh(new arenas).
+
+    Propagated-observation codes on removal rely on the observed-equality
+    agreement invariant (co-referrers of a live target observe the same
+    propagated code — mismatches score -inf and are unreachable under
+    sequential exact sweeps): the remaining code equals the removed one, so
+    only an emptied target's code is reset. Segment-boundary recomputes
+    bound any drift from states a frozen-snapshot batched pass created.
+    """
+    assert cm.layouts[cid].observed
+    rel = {c: {**v, "prop": dict(v["prop"])} for c, v in rel.items()}
+    slot = jnp.asarray(slot)
+    cap0 = cm.layouts[cid].capacity
+    # out-of-range slots are a no-op (refresh's arange != slot matches
+    # nothing); without the gate the gather would clamp to the last row
+    m = arenas[cid]["alive"][slot] & (slot >= 0) & (slot < cap0)
+
+    def bump(tc, t, dd):
+        # dd: scalar int32 in {-1, 0, +1}; adjusts tc's refcount at slot t
+        # and cascades aliveness flips down tc's own fk chain (the
+        # reference's recursive birth/GC, dependency_tracking.jl:184-236)
+        r = rel[tc]
+        cap = cm.layouts[tc].capacity
+        inb = (t >= 0) & (t < cap)
+        dd = jnp.where(inb, dd, 0)
+        rc = r["refcount"].at[t].add(dd, mode="drop")
+        was = r["alive"][t]
+        now = rc[t] > 0
+        rel[tc] = {**r,
+                   "refcount": rc,
+                   "alive": r["alive"].at[t].set(now, mode="drop"),
+                   "total": r["total"] + dd,
+                   "nrows": r["nrows"] + (now.astype(jnp.int32)
+                                          - was.astype(jnp.int32))}
+        flip = now.astype(jnp.int32) - was.astype(jnp.int32)
+        for fkv2 in cm.layouts[tc].fk_vertices:
+            t2 = arenas[tc]["values"][fkv2][t]
+            bump(cm.node(tc, fkv2).target_class, t2, flip)
+
+    d0 = jnp.asarray(sign, jnp.int32) * m.astype(jnp.int32)
+    for fkv in cm.layouts[cid].fk_vertices:
+        t = arenas[cid]["values"][fkv][slot]
+        bump(cm.node(cid, fkv).target_class, t, d0)
+
+    for (src, ov, chain, (tc, tv)) in propagated_obs_specs(cm):
+        if src != cid:
+            continue
+        codes, state = obs_arrays[cid][ov]
+        sm = m & (jnp.asarray(state)[slot] == 1)
+        t = slot
+        for (hop_cid, fkv) in chain:
+            t = arenas[hop_cid]["values"][fkv][t]
+        code, cnt = rel[tc]["prop"][tv]
+        dd = jnp.asarray(sign, jnp.int32) * sm.astype(jnp.int32)
+        cnt2 = cnt.at[t].add(dd, mode="drop")
+        cval = jnp.asarray(codes)[slot].astype(code.dtype)
+        if sign > 0:
+            code2 = code.at[t].max(jnp.where(sm, cval, code.dtype.type(0)),
+                                   mode="drop")
+        else:
+            code2 = code.at[t].set(
+                jnp.where(cnt2[t] > 0, code[t], code.dtype.type(0)),
+                mode="drop")
+        rel[tc]["prop"][tv] = (code2, cnt2)
+    return rel
+
+
 def refresh(cm: CompiledModel, arenas: dict, obs_arrays: dict,
             exclude_cid: Optional[ClassID] = None,
             exclude_slot=None) -> dict:

@@ -91,6 +91,14 @@ class InferenceConfig:
     # time; the engine silently falls back to the explicit comparison when
     # the audit fails (Engine.exact_accept), so True is always safe.
     exact_gibbs_accept: bool = True
+    # Carry the relational state through the sequential scan drivers as
+    # exact O(fk-chain-depth) point deltas per row (refresh.row_delta —
+    # the reference's incorporate_row!/unincorporate_row! semantics,
+    # dependency_tracking.jl:26-41) instead of recomputing O(N) dense
+    # reductions per row. Bitwise-identical results (the deltas reproduce
+    # refresh exactly — tests/test_incremental.py); False forces the
+    # recompute-per-row path.
+    incremental_refresh: bool = True
 
 
 def _fetch_np(x) -> np.ndarray:
@@ -528,17 +536,25 @@ class Engine:
             return self._init_step_fns[ck]
         cm = self.cm
         R = self.config.rejuv_frequency
+        incr = self.config.incremental_refresh
         from .gibbs_params import resample_all
+        from .refresh import row_delta
 
         @jax.jit
         def run(arenas, params, base, keys):  # keys: [seg, 2]
+            # relational state is carried through the scan and updated by
+            # exact point deltas as rows incorporate (incremental_refresh);
+            # recomputed once per segment either way
+            rel0 = refresh(cm, arenas, self.obs_dev)
+
             def body(carry, x):
-                arenas, params = carry
+                arenas, params, rel = carry
                 off, key = x
                 slot = base + off
                 valid = slot < num_rows
                 k1, k2 = jax.random.split(key)
-                rel = refresh(cm, arenas, self.obs_dev)
+                if not incr:
+                    rel = refresh(cm, arenas, self.obs_dev)
                 env2, births, _w = self._propose(cid, arenas, rel, params,
                                                  slot, k1, False)
                 arenas = apply_row(cm, cid, arenas, slot, env2, births,
@@ -548,16 +564,19 @@ class Engine:
                           cid: {**arenas[cid],
                                 "alive": alive.at[slot].set(
                                     alive[slot] | valid)}}
+                if incr:
+                    rel = row_delta(cm, rel, arenas, self.obs_dev, cid,
+                                    slot, +1)
                 do = valid & (((slot + 1) % R) == 0)
                 arenas, params = jax.lax.cond(
                     do,
                     lambda c: resample_all(cm, c[0], c[1], self.obs_dev, k2),
                     lambda c: c,
                     (arenas, params))
-                return (arenas, params), ()
+                return (arenas, params, rel), ()
 
-            (arenas, params), _ = jax.lax.scan(
-                body, (arenas, params), (jnp.arange(seg), keys))
+            (arenas, params, _), _ = jax.lax.scan(
+                body, (arenas, params, rel0), (jnp.arange(seg), keys))
             return arenas, params
 
         run = self._aot.wrap(f"scan_init_{cid}_{seg}_{num_rows}", run)
@@ -747,8 +766,13 @@ class Engine:
         cm = self.cm
         R = self.config.rejuv_frequency
         from .gibbs_params import resample_all
+        from .refresh import row_delta
 
         leaf = self._leaf_latent(cid)
+        # observed classes get the incremental carried-rel exclude (O(chain
+        # depth) per row instead of an O(N) recompute — VERDICT r2 item 2);
+        # non-leaf latent classes still recompute per row
+        incr = self.config.incremental_refresh and cm.layouts[cid].observed
 
         @jax.jit
         def run(arenas, params, base, keys):
@@ -758,14 +782,19 @@ class Engine:
             comp = self._ref_comp(cid, arenas, relc)
 
             def body(carry, x):
-                arenas, params = carry
+                arenas, params, relcar = carry
                 off, key = x
                 slot = base + off
                 valid = slot < cap
                 kp, kr, ka, kq = jax.random.split(key, 4)
-                rel = rel0 if leaf else \
-                    refresh(cm, arenas, self.obs_dev, exclude_cid=cid,
-                            exclude_slot=slot)
+                if incr:
+                    rel = row_delta(cm, relcar, arenas, self.obs_dev, cid,
+                                    slot, -1)
+                elif leaf:
+                    rel = rel0
+                else:
+                    rel = refresh(cm, arenas, self.obs_dev, exclude_cid=cid,
+                                  exclude_slot=slot)
                 env_p, births_p, w_p = self._propose(cid, arenas, rel, params,
                                                      slot, kp, False,
                                                      ext_hists=hists,
@@ -783,16 +812,22 @@ class Engine:
                               < (w_p - w_r)) & alive & valid
                 arenas = apply_row(cm, cid, arenas, slot, env_p, births_p,
                                    accept=accept, mark_alive=False)
+                if incr:
+                    # re-add the row's (possibly rewritten) contributions:
+                    # restores relcar exactly on reject, applies the move's
+                    # point deltas on accept
+                    relcar = row_delta(cm, rel, arenas, self.obs_dev, cid,
+                                       slot, +1)
                 do = valid & (((slot + 1) % R) == 0)
                 arenas, params = jax.lax.cond(
                     do,
                     lambda c: resample_all(cm, c[0], c[1], self.obs_dev, kq),
                     lambda c: c,
                     (arenas, params))
-                return (arenas, params), ()
+                return (arenas, params, relcar), ()
 
-            (arenas, params), _ = jax.lax.scan(
-                body, (arenas, params), (jnp.arange(seg), keys))
+            (arenas, params, _), _ = jax.lax.scan(
+                body, (arenas, params, relc), (jnp.arange(seg), keys))
             return arenas, params
 
         run = self._aot.wrap(f"scan_sweep_{cid}_{seg}", run)
@@ -823,18 +858,26 @@ class Engine:
         def class_pass(cid, arenas, params, keys):
             cap = caps[cid]
             leaf = self._leaf_latent(cid)
+            incr = self.config.incremental_refresh \
+                and cm.layouts[cid].observed
             relc = refresh(cm, arenas, self.obs_dev)
             rel0 = relc if leaf else None
             hists = self._ext_hists(cid, arenas, params, rel=relc)
             comp = self._ref_comp(cid, arenas, relc)
+            from .refresh import row_delta
 
             def body(carry, x):
-                arenas, params = carry
+                arenas, params, relcar = carry
                 slot, key = x
                 kp, kr, ka, kq = jax.random.split(key, 4)
-                rel = rel0 if leaf else \
-                    refresh(cm, arenas, self.obs_dev, exclude_cid=cid,
-                            exclude_slot=slot)
+                if incr:
+                    rel = row_delta(cm, relcar, arenas, self.obs_dev, cid,
+                                    slot, -1)
+                elif leaf:
+                    rel = rel0
+                else:
+                    rel = refresh(cm, arenas, self.obs_dev, exclude_cid=cid,
+                                  exclude_slot=slot)
                 env_p, births_p, w_p = self._propose(cid, arenas, rel, params,
                                                      slot, kp, False,
                                                      ext_hists=hists,
@@ -852,16 +895,19 @@ class Engine:
                               < (w_p - w_r)) & alive
                 arenas = apply_row(cm, cid, arenas, slot, env_p, births_p,
                                    accept=accept, mark_alive=False)
+                if incr:
+                    relcar = row_delta(cm, rel, arenas, self.obs_dev, cid,
+                                       slot, +1)
                 do = ((slot + 1) % R) == 0
                 arenas, params = jax.lax.cond(
                     do,
                     lambda c: resample_all(cm, c[0], c[1], self.obs_dev, kq),
                     lambda c: c,
                     (arenas, params))
-                return (arenas, params), ()
+                return (arenas, params, relcar), ()
 
-            (arenas, params), _ = jax.lax.scan(
-                body, (arenas, params), (jnp.arange(cap), keys))
+            (arenas, params, _), _ = jax.lax.scan(
+                body, (arenas, params, relc), (jnp.arange(cap), keys))
             return arenas, params
 
         @jax.jit
@@ -1020,12 +1066,20 @@ class Engine:
 
         progress = self._progress(progress)
         cfg = self.config
+        # MH-mode init on a model that FAILS the exactness audit runs the
+        # reference's 2-fresh-particle selection (infer_config.jl:11-13,
+        # row_inference.jl:159-165): with genuinely differing weights the
+        # 1-fresh-particle shortcut loses selection pressure (it is only
+        # exact when every particle weight is identical — smc.py:20-25).
+        mh_two = cfg.use_mh_instead_of_pg and cfg.num_particles > 1 \
+            and not self.exact_accept
         for spec in self.cm.obs_specs:
             cid = spec.class_id
-            if not cfg.use_mh_instead_of_pg and cfg.num_particles > 1:
+            if (not cfg.use_mh_instead_of_pg and cfg.num_particles > 1) \
+                    or mh_two:
+                P = 2 if mh_two else cfg.num_particles
                 if cfg.use_scan:
-                    run, seg = self.scan_init_pg(cid, spec.num_rows,
-                                                 cfg.num_particles)
+                    run, seg = self.scan_init_pg(cid, spec.num_rows, P)
                     self.log_ml = jnp.zeros((), jnp.float32)
                     done = 0
                     while done < spec.num_rows:
@@ -1043,7 +1097,7 @@ class Engine:
                     continue
                 from .particles import pg_init_step
 
-                step = pg_init_step(self, cid, cfg.num_particles)
+                step = pg_init_step(self, cid, P)
                 key, bulk = jax.random.split(key)
                 row_keys = jax.random.split(bulk, spec.num_rows)
                 self.log_ml = jnp.zeros((), jnp.float32)

@@ -158,3 +158,45 @@ def test_audit_flags_unobserved_unmodeled_key():
     the name prior's argument graph — not exact."""
     cm = _keyed_latent_model(observe_key=False)
     assert cm.exact_gibbs_ok is False
+
+
+def _build_many(prob, obs, n):
+    b = ModelBuilder()
+    with b.cls("Row") as c:
+        c.choice("x", ChooseUniformly(VALS))
+        c.choice("y", MaybeSwap(Ref("x"), VALS, prob))
+        c.choice("z", AddTypos(Ref("y")))
+    model = b.finish()
+    q = Query.build(model, "Row", [("z", "x", "z")])
+    ds = ObservedDataset(q, {"z": [obs] * n})
+    return compile_model(model, [ds])
+
+
+def _init_mean_loglik(cm, num_particles, seed):
+    eng = Engine(cm, InferenceConfig(num_iters=1, rejuv_frequency=10 ** 9,
+                                     num_particles=num_particles))
+    arenas, params = init_state(cm, jax.random.PRNGKey(seed))
+    arenas, params, _ = eng.initialize(jax.random.PRNGKey(seed + 1),
+                                       arenas, params)
+    y_vid = cm.cls("Row").names["y"]
+    z_vid = cm.cls("Row").names["z"]
+    kern = cm.kernels[("Row", z_vid)]
+    dom = cm.domain("Row", z_vid)
+    M = np.asarray(kern.M)
+    z = dom.vocab.encode("aa")
+    y = np.asarray(arenas["Row"]["values"][y_vid])
+    return float(M[z, y].mean())
+
+
+def test_mh_init_two_fresh_particles_on_deferred_path():
+    """VERDICT r2 item 7 (infer_config.jl:11-13, row_inference.jl:159-165):
+    when the exactness audit fails, MH-mode init must select among 2 fresh
+    weighted particles instead of keeping a single prior draw — measurably
+    better y draws (higher mean observed-data log-lik) on the deferred toy
+    model, under identical configs except the particle count."""
+    n = 160
+    cm = _build_many(0.5, "aa", n)
+    assert cm.exact_gibbs_ok is False
+    two = _init_mean_loglik(cm, num_particles=2, seed=11)
+    one = _init_mean_loglik(cm, num_particles=1, seed=11)
+    assert two > one + 0.05, (two, one)
