@@ -129,18 +129,68 @@ class CompiledModel:
 
 def compile_model(model: Model, datasets: Sequence[ObservedDataset],
                   capacities: Optional[dict[ClassID, int]] = None,
-                  lm: Optional[CharBigramLM] = None) -> CompiledModel:
+                  lm: Optional[CharBigramLM] = None,
+                  auto_capacities: bool = False) -> CompiledModel:
+    """auto_capacities: size latent arenas from the data instead of the
+    1024 default — for each latent class, the largest distinct-value count
+    over observed columns whose clean path lands on it, with slack (an
+    upper bound on resolvable entities: distinct dirty values over-count
+    entities by typo variants, never under-count; VERDICT r2 item 4).
+    Explicit `capacities` entries always win."""
     cm = CompiledModel(model)
     _assign_domains(cm)
     _ingest(cm, datasets)
     _build_tables(cm)
     cm.lm = lm if lm is not None else CharBigramLM.default(_string_corpus(cm))
     _build_kernels(cm)
-    _fix_layouts(cm, datasets, capacities or {})
+    caps = dict(capacities or {})
+    if auto_capacities:
+        for cid, cap in _auto_capacities(cm, datasets).items():
+            caps.setdefault(cid, cap)
+    _fix_layouts(cm, datasets, caps)
     _collect_param_meta(cm)
     cm.exact_gibbs_ok = _audit_exact_gibbs(cm)
     cm.ref_bounds = _referrer_bounds(cm)
     return cm
+
+
+def _auto_capacities(cm: CompiledModel, datasets) -> dict:
+    """Latent-class arena capacities derived from the data.
+
+    A latent class can resolve at most as many entities as the data has
+    distinct *observable signatures* for it: the joint tuple of every
+    observed column whose clean path passes through that class's reference
+    hop (columns landing deeper still distinguish this class's rows — a
+    hospital is identified by its name AND its county's state). Entities
+    beyond observational equivalence cannot be split by any proposal
+    (the enumeration scores candidates purely through these columns), so
+    distinct-tuple count bounds live rows; typos only add variants, never
+    reduce tuples. 50% + 16 slack covers typo-variant splits and transient
+    births; round up to a multiple of 64 (TPU lane-friendly). Classes no
+    clause touches keep the default.
+    """
+    from ..model.ir import SubmodelNode
+
+    col_sets: dict[ClassID, dict] = {}  # cid -> {dataset idx -> [cols]}
+    for di, ds in enumerate(datasets):
+        q = ds.query
+        for col, vid in q.cleanmap.items():
+            cur_cid, cur_vid = q.class_id, vid
+            while isinstance(cm.node(cur_cid, cur_vid), SubmodelNode):
+                sub = cm.node(cur_cid, cur_vid)
+                fk = cm.node(cur_cid, sub.fk_id)
+                cur_cid, cur_vid = fk.target_class, sub.sub_id
+                col_sets.setdefault(cur_cid, {}).setdefault(di, []).append(col)
+    out: dict[ClassID, int] = {}
+    for cid, per_ds in col_sets.items():
+        n = 0
+        for di, cols in per_ds.items():
+            data = datasets[di].columns()
+            tuples = {t for t in zip(*(data[c] for c in sorted(set(cols))))
+                      if any(v is not None for v in t)}
+            n += len(tuples)
+        out[cid] = ((int(n * 1.5) + 16 + 63) // 64) * 64
+    return out
 
 
 def _referrer_bounds(cm: CompiledModel) -> dict:

@@ -71,6 +71,121 @@ def propagated_obs_specs(cm: CompiledModel):
     return specs
 
 
+def _fk_delta(cm: CompiledModel, rel: dict, arenas: dict, cid: ClassID,
+              slot, sign: int, m) -> None:
+    """In-place (on the already-copied rel dict): ± row `slot`-of-class-
+    `cid`'s foreign-key reference counts, cascading aliveness flips down the
+    fk chain (the reference's recursive birth/GC,
+    dependency_tracking.jl:184-236). `m` gates on the row contributing at
+    all (its own liveness)."""
+
+    def bump(tc, t, dd):
+        # dd: scalar int32 in {-1, 0, +1}
+        r = rel[tc]
+        cap = cm.layouts[tc].capacity
+        inb = (t >= 0) & (t < cap)
+        dd = jnp.where(inb, dd, 0)
+        rc = r["refcount"].at[t].add(dd, mode="drop")
+        was = r["alive"][t]
+        now = rc[t] > 0
+        rel[tc] = {**r,
+                   "refcount": rc,
+                   "alive": r["alive"].at[t].set(now, mode="drop"),
+                   "total": r["total"] + dd,
+                   "nrows": r["nrows"] + (now.astype(jnp.int32)
+                                          - was.astype(jnp.int32))}
+        flip = now.astype(jnp.int32) - was.astype(jnp.int32)
+        for fkv2 in cm.layouts[tc].fk_vertices:
+            t2 = arenas[tc]["values"][fkv2][t]
+            bump(cm.node(tc, fkv2).target_class, t2, flip)
+
+    d0 = jnp.asarray(sign, jnp.int32) * m.astype(jnp.int32)
+    for fkv in cm.layouts[cid].fk_vertices:
+        t = arenas[cid]["values"][fkv][slot]
+        bump(cm.node(cid, fkv).target_class, t, d0)
+
+
+def latent_row_delta(cm: CompiledModel, rel: dict, arenas: dict,
+                     cid: ClassID, slot, sign: int) -> dict:
+    """rel ± latent row `slot`'s outgoing REFERENCE-COUNT contributions.
+
+    Mirrors refresh's exclude semantics for a latent class exactly: the
+    exclusion mask only removes the row from its targets' reference counts
+    (live_mask gates refcount scatters); propagated observations are
+    sourced from observed classes only and are untouched (their chained
+    gathers pass through latent rows regardless of the row's own state).
+    Complemented by hop_move for fk rewrites, which shifts the propagated
+    observations of the row's whole referrer group."""
+    assert not cm.layouts[cid].observed
+    rel = {c: {**v, "prop": dict(v["prop"])} for c, v in rel.items()}
+    slot = jnp.asarray(slot)
+    cap0 = cm.layouts[cid].capacity
+    m = rel[cid]["alive"][slot] & (slot >= 0) & (slot < cap0)
+    _fk_delta(cm, rel, arenas, cid, slot, sign, m)
+    return rel
+
+
+def hop_histograms(cm: CompiledModel, cid: ClassID, arenas: dict,
+                   obs_arrays: dict):
+    """Per propagated-obs chain hop leaving latent class `cid`: the
+    ([cap_cid] count, [cap_cid] code) histogram of observed-source rows
+    whose chain prefix lands on each cid row. Loop-invariant during cid's
+    own sweep (prefix hops ride referrer classes' fk columns, which that
+    sweep never touches), so one scatter per segment replaces per-row
+    O(referrers) work. Returns
+    [((fk_vid, suffix_chain, (tc, tv)), (gcnt, gcode)), ...]."""
+    out = []
+    cap = cm.layouts[cid].capacity
+    for (src, ov, chain, (tc, tv)) in propagated_obs_specs(cm):
+        for k, (hop_cid, fkv) in enumerate(chain):
+            if hop_cid != cid:
+                continue
+            codes, state = obs_arrays[src][ov]
+            codes = jnp.asarray(codes)
+            mask = arenas[src]["alive"] & (jnp.asarray(state) == 1)
+            t = jnp.arange(cm.layouts[src].capacity)
+            for (hc, fv) in chain[:k]:
+                t = arenas[hc]["values"][fv][t]
+            gcnt = jnp.zeros((cap,), jnp.int32).at[t].add(
+                mask.astype(jnp.int32), mode="drop")
+            gcode = jnp.zeros((cap,), codes.dtype).at[t].max(
+                jnp.where(mask, codes, codes.dtype.type(0)), mode="drop")
+            out.append(((fkv, chain[k + 1:], (tc, tv)), (gcnt, gcode)))
+    return out
+
+
+def hop_move(cm: CompiledModel, rel: dict, arenas: dict, cid: ClassID,
+             slot, old_fks: dict, hop_hists) -> dict:
+    """After latent row `slot`'s fk columns were (possibly) rewritten:
+    move its whole referrer group's propagated observations from the old
+    chain targets to the new ones, using per-segment hop_histograms.
+    `old_fks` holds the pre-rewrite fk values; unchanged fks cancel
+    exactly. Code removal relies on the same observed-equality agreement
+    invariant as row_delta."""
+    if not hop_hists:
+        return rel
+    rel = {c: {**v, "prop": dict(v["prop"])} for c, v in rel.items()}
+    slot = jnp.asarray(slot)
+    for (fkv, suffix, (tc, tv)), (gcnt, gcode) in hop_hists:
+        g = gcnt[slot]
+        gc = gcode[slot]
+        of = old_fks[fkv]
+        nf = arenas[cid]["values"][fkv][slot]
+        for (hc, fv) in suffix:
+            of = arenas[hc]["values"][fv][of]
+            nf = arenas[hc]["values"][fv][nf]
+        code, cnt = rel[tc]["prop"][tv]
+        cnt = cnt.at[of].add(-g, mode="drop")
+        code = code.at[of].set(
+            jnp.where(cnt[of] > 0, code[of], code.dtype.type(0)),
+            mode="drop")
+        cnt = cnt.at[nf].add(g, mode="drop")
+        code = code.at[nf].max(jnp.where(g > 0, gc, code.dtype.type(0)),
+                               mode="drop")
+        rel[tc]["prop"][tv] = (code, cnt)
+    return rel
+
+
 def row_delta(cm: CompiledModel, rel: dict, arenas: dict, obs_arrays: dict,
               cid: ClassID, slot, sign: int) -> dict:
     """rel ± one observed-class row's outgoing relational contributions.
@@ -102,33 +217,7 @@ def row_delta(cm: CompiledModel, rel: dict, arenas: dict, obs_arrays: dict,
     # out-of-range slots are a no-op (refresh's arange != slot matches
     # nothing); without the gate the gather would clamp to the last row
     m = arenas[cid]["alive"][slot] & (slot >= 0) & (slot < cap0)
-
-    def bump(tc, t, dd):
-        # dd: scalar int32 in {-1, 0, +1}; adjusts tc's refcount at slot t
-        # and cascades aliveness flips down tc's own fk chain (the
-        # reference's recursive birth/GC, dependency_tracking.jl:184-236)
-        r = rel[tc]
-        cap = cm.layouts[tc].capacity
-        inb = (t >= 0) & (t < cap)
-        dd = jnp.where(inb, dd, 0)
-        rc = r["refcount"].at[t].add(dd, mode="drop")
-        was = r["alive"][t]
-        now = rc[t] > 0
-        rel[tc] = {**r,
-                   "refcount": rc,
-                   "alive": r["alive"].at[t].set(now, mode="drop"),
-                   "total": r["total"] + dd,
-                   "nrows": r["nrows"] + (now.astype(jnp.int32)
-                                          - was.astype(jnp.int32))}
-        flip = now.astype(jnp.int32) - was.astype(jnp.int32)
-        for fkv2 in cm.layouts[tc].fk_vertices:
-            t2 = arenas[tc]["values"][fkv2][t]
-            bump(cm.node(tc, fkv2).target_class, t2, flip)
-
-    d0 = jnp.asarray(sign, jnp.int32) * m.astype(jnp.int32)
-    for fkv in cm.layouts[cid].fk_vertices:
-        t = arenas[cid]["values"][fkv][slot]
-        bump(cm.node(cid, fkv).target_class, t, d0)
+    _fk_delta(cm, rel, arenas, cid, slot, sign, m)
 
     for (src, ov, chain, (tc, tv)) in propagated_obs_specs(cm):
         if src != cid:

@@ -285,6 +285,36 @@ class Engine:
             lambda arenas: {c: refresh(cm, arenas, self.obs_dev)[c]["alive"]
                             for c in cm.model.class_order})
 
+    def arena_occupancy(self, arenas) -> dict:
+        """{latent class: (live rows, capacity)} — one jitted reduction."""
+        alive = self._alive(arenas)
+        return {c: (int(np.asarray(alive[c]).sum()),
+                    self.cm.layouts[c].capacity)
+                for c in self.cm.model.class_order
+                if not self.cm.layouts[c].observed}
+
+    def _check_arena_pressure(self, arenas):
+        """Surface arena-full events (VERDICT r2): when a latent arena has
+        no free slot, sample_fk silently redirects fresh-entity proposals
+        to the argmax existing candidate (propose.py full-arena guard) —
+        that degradation must be loud, not silent."""
+        import warnings
+
+        for c, (n, cap) in self.arena_occupancy(arenas).items():
+            if n >= cap:
+                warnings.warn(
+                    f"pclean_tpu: latent arena for class '{c}' is FULL "
+                    f"({n}/{cap}): fresh-entity proposals are being "
+                    "redirected to the best existing candidate (forced "
+                    "merges degrade accuracy). Pass a larger capacity for "
+                    "this class or compile_model(..., auto_capacities=True).",
+                    RuntimeWarning, stacklevel=3)
+            elif n >= 0.9 * cap:
+                warnings.warn(
+                    f"pclean_tpu: latent arena for class '{c}' is at "
+                    f"{n}/{cap} (>90%); consider a larger capacity.",
+                    RuntimeWarning, stacklevel=3)
+
     def _sync_leaf(self, arenas, cid):
         """An arena array the class's step programs always rewrite."""
         store = self.cm.layouts[cid].store
@@ -753,6 +783,97 @@ class Engine:
         self._init_step_fns[ck] = (run, nb, seg_b)
         return run, nb, seg_b
 
+    def _sweep_segment(self, cid: ClassID, arenas, params, base, keys, cap):
+        """One class's MH rejuvenation over a segment of row slots, traced
+        as a lax.scan (shared by scan_sweep_class and scan_sweep_all).
+
+        Relational-state strategy per class kind (incremental_refresh):
+          * observed: carried rel, exclude/include by row_delta point
+            deltas (O(chain depth) per row);
+          * non-leaf latent: carried rel, latent_row_delta for reference
+            counts + hop_move with per-segment hop_histograms for the
+            referrer group's propagated observations;
+          * leaf latent: the whole snapshot is loop-invariant (hoisted);
+          * incremental_refresh=False: per-row O(N) exclude-recompute.
+        """
+        cm = self.cm
+        R = self.config.rejuv_frequency
+        seg = int(keys.shape[0])
+        from .gibbs_params import resample_all
+        from .refresh import (hop_histograms, hop_move, latent_row_delta,
+                              row_delta)
+
+        leaf = self._leaf_latent(cid)
+        observed = cm.layouts[cid].observed
+        incr_obs = self.config.incremental_refresh and observed
+        incr_lat = self.config.incremental_refresh and not observed \
+            and not leaf
+        relc = refresh(cm, arenas, self.obs_dev)
+        rel0 = relc if leaf else None
+        hists = self._ext_hists(cid, arenas, params, rel=relc)
+        comp = self._ref_comp(cid, arenas, relc)
+        hops = hop_histograms(cm, cid, arenas, self.obs_dev) if incr_lat \
+            else []
+        fkvs = cm.layouts[cid].fk_vertices
+
+        def body(carry, x):
+            arenas, params, relcar = carry
+            off, key = x
+            slot = base + off
+            valid = slot < cap
+            kp, kr, ka, kq = jax.random.split(key, 4)
+            if incr_obs:
+                rel = row_delta(cm, relcar, arenas, self.obs_dev, cid,
+                                slot, -1)
+            elif incr_lat:
+                rel = latent_row_delta(cm, relcar, arenas, cid, slot, -1)
+            elif leaf:
+                rel = rel0
+            else:
+                rel = refresh(cm, arenas, self.obs_dev, exclude_cid=cid,
+                              exclude_slot=slot)
+            env_p, births_p, w_p = self._propose(cid, arenas, rel, params,
+                                                 slot, kp, False,
+                                                 ext_hists=hists,
+                                                 ref_comp=comp)
+            alive = arenas[cid]["alive"][slot] if observed \
+                else rel[cid]["alive"][slot]
+            if self.exact_accept:
+                accept = alive & valid
+            else:
+                _er, _br, w_r = self._propose(cid, arenas, rel, params,
+                                              slot, kr, True,
+                                              ext_hists=hists,
+                                              ref_comp=comp)
+                accept = (jnp.log(jax.random.uniform(ka))
+                          < (w_p - w_r)) & alive & valid
+            if incr_lat:
+                old_fks = {fkv: arenas[cid]["values"][fkv][slot]
+                           for fkv in fkvs}
+            arenas = apply_row(cm, cid, arenas, slot, env_p, births_p,
+                               accept=accept, mark_alive=False)
+            if incr_obs:
+                # re-add the row's (possibly rewritten) contributions:
+                # restores relcar exactly on reject, applies the move's
+                # point deltas on accept
+                relcar = row_delta(cm, rel, arenas, self.obs_dev, cid,
+                                   slot, +1)
+            elif incr_lat:
+                relcar = latent_row_delta(cm, rel, arenas, cid, slot, +1)
+                relcar = hop_move(cm, relcar, arenas, cid, slot, old_fks,
+                                  hops)
+            do = valid & (((slot + 1) % R) == 0)
+            arenas, params = jax.lax.cond(
+                do,
+                lambda c: resample_all(cm, c[0], c[1], self.obs_dev, kq),
+                lambda c: c,
+                (arenas, params))
+            return (arenas, params, relcar), ()
+
+        (arenas, params, _), _ = jax.lax.scan(
+            body, (arenas, params, relc), (jnp.arange(seg), keys))
+        return arenas, params
+
     def scan_sweep_class(self, cid: ClassID):
         """A segment of one class's rejuvenation sweep as one scanned
         program (dead slots no-op through the accept mask, like the
@@ -763,72 +884,10 @@ class Engine:
         ck = ("scan_sweep", cid, seg)
         if ck in self._rejuv_step_fns:
             return self._rejuv_step_fns[ck]
-        cm = self.cm
-        R = self.config.rejuv_frequency
-        from .gibbs_params import resample_all
-        from .refresh import row_delta
-
-        leaf = self._leaf_latent(cid)
-        # observed classes get the incremental carried-rel exclude (O(chain
-        # depth) per row instead of an O(N) recompute — VERDICT r2 item 2);
-        # non-leaf latent classes still recompute per row
-        incr = self.config.incremental_refresh and cm.layouts[cid].observed
 
         @jax.jit
         def run(arenas, params, base, keys):
-            relc = refresh(cm, arenas, self.obs_dev)
-            rel0 = relc if leaf else None
-            hists = self._ext_hists(cid, arenas, params, rel=relc)
-            comp = self._ref_comp(cid, arenas, relc)
-
-            def body(carry, x):
-                arenas, params, relcar = carry
-                off, key = x
-                slot = base + off
-                valid = slot < cap
-                kp, kr, ka, kq = jax.random.split(key, 4)
-                if incr:
-                    rel = row_delta(cm, relcar, arenas, self.obs_dev, cid,
-                                    slot, -1)
-                elif leaf:
-                    rel = rel0
-                else:
-                    rel = refresh(cm, arenas, self.obs_dev, exclude_cid=cid,
-                                  exclude_slot=slot)
-                env_p, births_p, w_p = self._propose(cid, arenas, rel, params,
-                                                     slot, kp, False,
-                                                     ext_hists=hists,
-                                                     ref_comp=comp)
-                alive = arenas[cid]["alive"][slot] if cm.layouts[cid].observed \
-                    else rel[cid]["alive"][slot]
-                if self.exact_accept:
-                    accept = alive & valid
-                else:
-                    _er, _br, w_r = self._propose(cid, arenas, rel, params,
-                                                  slot, kr, True,
-                                                  ext_hists=hists,
-                                                  ref_comp=comp)
-                    accept = (jnp.log(jax.random.uniform(ka))
-                              < (w_p - w_r)) & alive & valid
-                arenas = apply_row(cm, cid, arenas, slot, env_p, births_p,
-                                   accept=accept, mark_alive=False)
-                if incr:
-                    # re-add the row's (possibly rewritten) contributions:
-                    # restores relcar exactly on reject, applies the move's
-                    # point deltas on accept
-                    relcar = row_delta(cm, rel, arenas, self.obs_dev, cid,
-                                       slot, +1)
-                do = valid & (((slot + 1) % R) == 0)
-                arenas, params = jax.lax.cond(
-                    do,
-                    lambda c: resample_all(cm, c[0], c[1], self.obs_dev, kq),
-                    lambda c: c,
-                    (arenas, params))
-                return (arenas, params, relcar), ()
-
-            (arenas, params, _), _ = jax.lax.scan(
-                body, (arenas, params, relc), (jnp.arange(seg), keys))
-            return arenas, params
+            return self._sweep_segment(cid, arenas, params, base, keys, cap)
 
         run = self._aot.wrap(f"scan_sweep_{cid}_{seg}", run)
         self._rejuv_step_fns[ck] = (run, seg)
@@ -849,73 +908,17 @@ class Engine:
         if ck in self._rejuv_step_fns:
             return self._rejuv_step_fns[ck]
         cm = self.cm
-        R = self.config.rejuv_frequency
-        from .gibbs_params import resample_all
 
         caps = {cid: cm.layouts[cid].capacity for cid in cm.model.class_order}
         total = sum(caps.values())
-
-        def class_pass(cid, arenas, params, keys):
-            cap = caps[cid]
-            leaf = self._leaf_latent(cid)
-            incr = self.config.incremental_refresh \
-                and cm.layouts[cid].observed
-            relc = refresh(cm, arenas, self.obs_dev)
-            rel0 = relc if leaf else None
-            hists = self._ext_hists(cid, arenas, params, rel=relc)
-            comp = self._ref_comp(cid, arenas, relc)
-            from .refresh import row_delta
-
-            def body(carry, x):
-                arenas, params, relcar = carry
-                slot, key = x
-                kp, kr, ka, kq = jax.random.split(key, 4)
-                if incr:
-                    rel = row_delta(cm, relcar, arenas, self.obs_dev, cid,
-                                    slot, -1)
-                elif leaf:
-                    rel = rel0
-                else:
-                    rel = refresh(cm, arenas, self.obs_dev, exclude_cid=cid,
-                                  exclude_slot=slot)
-                env_p, births_p, w_p = self._propose(cid, arenas, rel, params,
-                                                     slot, kp, False,
-                                                     ext_hists=hists,
-                                                     ref_comp=comp)
-                alive = arenas[cid]["alive"][slot] if cm.layouts[cid].observed \
-                    else rel[cid]["alive"][slot]
-                if self.exact_accept:
-                    accept = alive
-                else:
-                    _er, _br, w_r = self._propose(cid, arenas, rel, params,
-                                                  slot, kr, True,
-                                                  ext_hists=hists,
-                                                  ref_comp=comp)
-                    accept = (jnp.log(jax.random.uniform(ka))
-                              < (w_p - w_r)) & alive
-                arenas = apply_row(cm, cid, arenas, slot, env_p, births_p,
-                                   accept=accept, mark_alive=False)
-                if incr:
-                    relcar = row_delta(cm, rel, arenas, self.obs_dev, cid,
-                                       slot, +1)
-                do = ((slot + 1) % R) == 0
-                arenas, params = jax.lax.cond(
-                    do,
-                    lambda c: resample_all(cm, c[0], c[1], self.obs_dev, kq),
-                    lambda c: c,
-                    (arenas, params))
-                return (arenas, params, relcar), ()
-
-            (arenas, params, _), _ = jax.lax.scan(
-                body, (arenas, params, relc), (jnp.arange(cap), keys))
-            return arenas, params
 
         @jax.jit
         def run(arenas, params, keys):  # keys: [total, 2]
             off = 0
             for cid in cm.model.class_order:
-                arenas, params = class_pass(cid, arenas, params,
-                                            keys[off:off + caps[cid]])
+                arenas, params = self._sweep_segment(
+                    cid, arenas, params, 0, keys[off:off + caps[cid]],
+                    caps[cid])
                 off += caps[cid]
             return arenas, params
 
@@ -1197,6 +1200,7 @@ class Engine:
                     arenas, params = self._resample(arenas, params, sub)
                 if progress and (done // progress) != (prev // progress):
                     print(f"Initializing row {done} of {spec.num_rows} for {cid}...")
+        self._check_arena_pressure(arenas)
         return arenas, params, key
 
     def sweep(self, key, arenas, params, progress: Optional[int] = None):
@@ -1359,4 +1363,5 @@ class Engine:
             if progress:
                 print(f"Iteration {it + 1}/{self.config.num_iters}")
             arenas, params, key = self.sweep(key, arenas, params, progress)
+        self._check_arena_pressure(arenas)
         return arenas, params, key

@@ -176,3 +176,68 @@ def test_driver_equivalence_unmodeled_key_model():
     a2, p2 = run_driver(cm, incremental=False)
     assert_trees_equal(a1, a2, "arenas")
     assert_trees_equal(p1, p2, "params")
+
+
+def test_latent_row_delta_matches_exclude_refresh():
+    from pclean_tpu.engine.refresh import latent_row_delta
+
+    cm = chain_cm()
+    eng, arenas, _params = reachable_state(cm)
+    rel = refresh(cm, arenas, eng.obs_dev)
+    for slot in [0, 1, 2, 7, 11]:
+        got = latent_row_delta(cm, rel, arenas, "Hospital",
+                               jnp.asarray(slot), -1)
+        want = refresh(cm, arenas, eng.obs_dev, exclude_cid="Hospital",
+                       exclude_slot=jnp.asarray(slot))
+        assert_trees_equal(got, want, what=f"latent exclude slot {slot}")
+        back = latent_row_delta(cm, got, arenas, "Hospital",
+                                jnp.asarray(slot), +1)
+        assert_trees_equal(back, rel, what=f"latent restore slot {slot}")
+
+
+def test_hop_move_after_latent_fk_rewrite():
+    """Rewrite a live Hospital row's County fk; latent_row_delta + hop_move
+    must reproduce a full refresh of the rewritten arenas (the Records
+    referring to that hospital carry their propagated state observations
+    to the new county)."""
+    from pclean_tpu.engine.refresh import (hop_histograms, hop_move,
+                                           latent_row_delta)
+
+    cm = chain_cm()
+    eng, arenas, _params = reachable_state(cm)
+    rel = refresh(cm, arenas, eng.obs_dev)
+    hops = hop_histograms(cm, "Hospital", arenas, eng.obs_dev)
+    assert hops, "expected a propagated-obs hop through Hospital"
+    fkv = cm.layouts["Hospital"].fk_vertices[0]
+    alive = np.asarray(rel["Hospital"]["alive"])
+    live = np.flatnonzero(alive)
+    assert live.size >= 2
+    col = np.asarray(arenas["Hospital"]["values"][fkv])
+    # move hospital a onto hospital b's county — b chosen among live rows;
+    # propagated state codes agree only if the two hospitals' referrer
+    # groups observe the same state, so pick b with matching group code
+    gcode = np.asarray(hops[0][1][1])
+    moved = 0
+    for a in live:
+        for bb in live:
+            if bb == a or col[a] == col[bb]:
+                continue
+            if gcode[a] != 0 and gcode[bb] != 0 and gcode[a] != gcode[bb]:
+                continue
+            ex = latent_row_delta(cm, rel, arenas, "Hospital",
+                                  jnp.asarray(int(a)), -1)
+            old_fks = {fkv: arenas["Hospital"]["values"][fkv][int(a)]}
+            vals = dict(arenas["Hospital"]["values"])
+            vals[fkv] = vals[fkv].at[int(a)].set(int(col[bb]))
+            new_arenas = {**arenas,
+                          "Hospital": {**arenas["Hospital"], "values": vals}}
+            got = latent_row_delta(cm, ex, new_arenas, "Hospital",
+                                   jnp.asarray(int(a)), +1)
+            got = hop_move(cm, got, new_arenas, "Hospital",
+                           jnp.asarray(int(a)), old_fks, hops)
+            want = refresh(cm, new_arenas, eng.obs_dev)
+            assert_trees_equal(got, want, what=f"hop move {a}->{bb}")
+            moved += 1
+            if moved >= 3:
+                return
+    assert moved > 0
