@@ -33,11 +33,38 @@ def propose_row_pg(engine, cid: ClassID, arenas: dict, rel: dict,
                    params: dict, slot, keys, retained: bool = False):
     """One row's SMC with P = keys.shape[0] particles.
 
-    Returns (env_chosen, births(list of Birth), log_ml). With retained=True
-    the first particle is the CSMC retained particle, forced to the stored
-    row (row_inference.jl:143-145).
+    Returns (env_chosen, births(list of Birth), log_ml, accept). With
+    retained=True the first particle is the CSMC retained particle, forced
+    to the stored row (row_inference.jl:143-145). `accept` is False only
+    when the final selection picks the retained particle on the collapsed
+    path below (callers then keep the stored row instead of rewriting it).
+
+    Exact-Gibbs collapse (the VERDICT r2 tractability item): when the
+    compile-time audit certifies every weight-bearing node enumerable or
+    observed, ALL particle weights inside a block equal that block's logZ
+    (the proposal IS the conditional posterior), so inter-block ESS never
+    drops, the final categorical is uniform, and the P-particle SMC is
+    DISTRIBUTIONALLY IDENTICAL to: one exact posterior draw, kept with
+    probability (P-1)/P over the retained particle, with log-ML = sum of
+    block logZs. That replaces P vmapped enumerations with one — a
+    1,024-particle sweep costs the same as the MH sweep. Models failing
+    the audit (genuinely differing weights) take the full vmapped path.
     """
     cm = engine.cm
+    P_ = int(keys.shape[0])
+    if P_ > 1 and retained is not None and engine.exact_accept \
+            and engine.config.collapse_exact_pg:
+        env, births, w = engine._propose(cid, arenas, rel, params, slot,
+                                         keys[min(1, P_ - 1)],
+                                         force_retained=False)
+        if retained:
+            # uniform selection over P equally weighted particles: the
+            # retained particle (index 0) survives with probability 1/P
+            u = jax.random.uniform(jax.random.fold_in(keys[0], 999))
+            accept = u >= 1.0 / P_
+        else:
+            accept = jnp.asarray(True)
+        return env, births, w, accept
     c = cm.cls(cid)
     P = int(keys.shape[0])
     obs_row = engine._obs_row_slices(cid, slot, rel)
@@ -113,7 +140,7 @@ def propose_row_pg(engine, cid: ClassID, arenas: dict, rel: dict,
         births.append(Birth(fk, tc, d["is_new"][j], d["slot"][j],
                             {k: v[j] for k, v in d["values"].items()}))
     log_ml = log_ml + logsumexp(ws) - jnp.log(float(P))
-    return env, births, log_ml
+    return env, births, log_ml, jnp.asarray(True)
 
 
 def pg_init_step(engine, cid: ClassID, num_particles: int):
@@ -126,10 +153,11 @@ def pg_init_step(engine, cid: ClassID, num_particles: int):
         key = keys_all[slot]
         pkeys = jax.random.split(key, num_particles)
         rel = refresh(cm, arenas, engine.obs_dev)
-        env, births, log_ml = propose_row_pg(engine, cid, arenas, rel, params,
-                                             slot, pkeys, retained=False)
+        env, births, log_ml, acc = propose_row_pg(engine, cid, arenas, rel,
+                                                  params, slot, pkeys,
+                                                  retained=False)
         arenas = apply_row(cm, cid, arenas, slot, env, births,
-                           accept=jnp.asarray(True), mark_alive=True)
+                           accept=acc, mark_alive=True)
         return arenas, log_ml
 
     return step
@@ -146,12 +174,13 @@ def pg_rejuv_step(engine, cid: ClassID, num_particles: int):
         pkeys = jax.random.split(key, num_particles)
         rel = refresh(cm, arenas, engine.obs_dev, exclude_cid=cid,
                       exclude_slot=slot)
-        env, births, log_ml = propose_row_pg(engine, cid, arenas, rel, params,
-                                             slot, pkeys, retained=True)
+        env, births, log_ml, acc = propose_row_pg(engine, cid, arenas, rel,
+                                                  params, slot, pkeys,
+                                                  retained=True)
         alive = arenas[cid]["alive"][slot] if cm.layouts[cid].observed \
             else rel[cid]["alive"][slot]
         arenas = apply_row(cm, cid, arenas, slot, env, births,
-                           accept=alive, mark_alive=False)
+                           accept=alive & acc, mark_alive=False)
         return arenas, log_ml
 
     return step

@@ -156,3 +156,85 @@ def test_pg_log_ml_unbiased_on_two_block_deferred_model():
     mean_p = np.exp(ests - want).mean()  # unbiased: E[p_hat / p] = 1
     se = np.exp(ests - want).std() / np.sqrt(len(ests))
     assert abs(mean_p - 1.0) < max(3.5 * se, 0.15), (mean_p, se)
+
+
+# ------------------------------------------------------- exact-Gibbs collapse
+# VERDICT r2 item 6: 1,024-particle PG tractable. When the exactness audit
+# passes, the P-particle SMC collapses to ONE exact draw + uniform selection
+# (retained survives w.p. 1/P) — so P=1,024 costs the same as the MH sweep.
+
+
+def test_pg_collapse_1024_particles_end_to_end():
+    """P=1,024 PG init + sweep on the tiny exact model completes quickly
+    (one enumeration per row, not 1,024 vmapped ones) and matches the
+    per-row-PG accuracy floor."""
+    cm, q, ds = tiny_setup()
+    arenas, params = init_state(cm, jax.random.PRNGKey(0))
+    eng = Engine(cm, InferenceConfig(num_iters=1, rejuv_frequency=1000,
+                                     use_mh_instead_of_pg=False,
+                                     num_particles=1024, use_scan=True))
+    assert eng.exact_accept  # the collapse precondition for this model
+    arenas, params, key = eng.initialize(jax.random.PRNGKey(1), arenas,
+                                         params)
+    assert np.isfinite(float(eng.log_ml))
+    arenas, params, key = eng.sweep(key, arenas, params)
+    rel = refresh(cm, arenas, _obs_device(cm))
+    assert int(np.asarray(rel["Obj"]["total"])) == len(DIRTY)
+    res = evaluate_accuracy(cm, arenas, params, {"name": list(DIRTY)},
+                            {"name": list(CLEAN)}, q)
+    assert res["f1"] > 0.5, res
+
+
+def test_pg_collapse_log_ml_exact_any_particle_count():
+    """Collapsed log-ML must equal the analytic marginal for ANY P (it is
+    the sum of block logZs, independent of the particle count)."""
+    obs = ["aa", "ab", "bb", "ab"]
+    b = ModelBuilder()
+    with b.cls("Row") as c:
+        c.choice("x", ChooseUniformly(_VALS))
+        c.choice("z", AddTypos(Ref("x")))
+    model = b.finish()
+    q = Query.build(model, "Row", [("z", "x", "z")])
+    cm = compile_model(model, [ObservedDataset(q, {"z": obs})])
+    want = sum(_brute_log_pz(cm, "z", False, 0.0, o) for o in obs)
+    for P in (2, 64, 1024):
+        eng = Engine(cm, InferenceConfig(num_iters=1,
+                                         rejuv_frequency=10 ** 9,
+                                         use_mh_instead_of_pg=False,
+                                         num_particles=P))
+        arenas, params = init_state(cm, jax.random.PRNGKey(0))
+        arenas, params, _ = eng.initialize(jax.random.PRNGKey(1), arenas,
+                                           params)
+        np.testing.assert_allclose(float(eng.log_ml), want, rtol=2e-4)
+
+
+def test_pg_collapse_retained_survival_rate():
+    """The retained particle must survive CSMC selection w.p. exactly 1/P
+    under the collapse (row_inference.jl:164's uniform categorical over P
+    equally weighted particles). Estimated over many seeds."""
+    from pclean_tpu.engine.particles import propose_row_pg
+    from pclean_tpu.engine.smc import _obs_device as _od
+
+    cm, q, ds = tiny_setup()
+    arenas, params = init_state(cm, jax.random.PRNGKey(0))
+    eng = Engine(cm, InferenceConfig(num_iters=1, rejuv_frequency=1000,
+                                     use_mh_instead_of_pg=False,
+                                     num_particles=4))
+    arenas, params, _ = eng.initialize(jax.random.PRNGKey(1), arenas, params)
+    P = 4
+
+    @jax.jit
+    def acc_of(key):
+        rel = refresh(cm, arenas, eng.obs_dev, exclude_cid="Row",
+                      exclude_slot=0)
+        pkeys = jax.random.split(key, P)
+        _e, _b, _l, acc = propose_row_pg(eng, "Row", arenas, rel, params,
+                                         0, pkeys, retained=True)
+        return acc
+
+    keys = jax.random.split(jax.random.PRNGKey(7), 800)
+    accs = np.asarray([bool(acc_of(k)) for k in keys])
+    keep_retained = 1.0 - accs.mean()  # acc False = retained kept
+    # binomial se at p=1/4, n=800 is ~0.015
+    assert abs(keep_retained - 1.0 / P) < 0.06, keep_retained
+
