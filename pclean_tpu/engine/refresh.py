@@ -72,12 +72,22 @@ def propagated_obs_specs(cm: CompiledModel):
 
 
 def _fk_delta(cm: CompiledModel, rel: dict, arenas: dict, cid: ClassID,
-              slot, sign: int, m) -> None:
+              slot, sign: int, m, dense: bool = False) -> None:
     """In-place (on the already-copied rel dict): ± row `slot`-of-class-
     `cid`'s foreign-key reference counts, cascading aliveness flips down the
     fk chain (the reference's recursive birth/GC,
     dependency_tracking.jl:184-236). `m` gates on the row contributing at
-    all (its own liveness)."""
+    all (its own liveness).
+
+    dense=True replaces every single-index scatter with its elementwise
+    one-hot form (`arange == t`). Semantically identical (out-of-range `t`
+    matches no position, like mode="drop"), but under a per-row vmap the
+    scatter form is poison: each `.at[t].add` materialises a full [B, cap]
+    copy of the broadcast operand and is a fusion barrier, so a chain of
+    chained deltas writes dozens of [B, cap] buffers to HBM per scan step
+    (measured 6x sweep slowdown on hospital-100k B=64). The elementwise
+    form fuses into the downstream block-enumeration consumers and never
+    materialises the corrected arrays."""
 
     def bump(tc, t, dd):
         # dd: scalar int32 in {-1, 0, +1}
@@ -85,12 +95,21 @@ def _fk_delta(cm: CompiledModel, rel: dict, arenas: dict, cid: ClassID,
         cap = cm.layouts[tc].capacity
         inb = (t >= 0) & (t < cap)
         dd = jnp.where(inb, dd, 0)
-        rc = r["refcount"].at[t].add(dd, mode="drop")
-        was = r["alive"][t]
-        now = rc[t] > 0
+        if dense:
+            hit = jnp.arange(cap) == t  # False everywhere when t OOB
+            rc_t = r["refcount"][t] + dd  # gather clamps; dd==0 when OOB
+            rc = r["refcount"] + dd * hit.astype(jnp.int32)
+            was = r["alive"][t]
+            now = rc_t > 0
+            alive = jnp.where(hit, now, r["alive"])
+        else:
+            rc = r["refcount"].at[t].add(dd, mode="drop")
+            was = r["alive"][t]
+            now = rc[t] > 0
+            alive = r["alive"].at[t].set(now, mode="drop")
         rel[tc] = {**r,
                    "refcount": rc,
-                   "alive": r["alive"].at[t].set(now, mode="drop"),
+                   "alive": alive,
                    "total": r["total"] + dd,
                    "nrows": r["nrows"] + (now.astype(jnp.int32)
                                           - was.astype(jnp.int32))}
@@ -106,7 +125,8 @@ def _fk_delta(cm: CompiledModel, rel: dict, arenas: dict, cid: ClassID,
 
 
 def latent_row_delta(cm: CompiledModel, rel: dict, arenas: dict,
-                     cid: ClassID, slot, sign: int) -> dict:
+                     cid: ClassID, slot, sign: int,
+                     dense: bool = False) -> dict:
     """rel ± latent row `slot`'s outgoing REFERENCE-COUNT contributions.
 
     Mirrors refresh's exclude semantics for a latent class exactly: the
@@ -121,7 +141,7 @@ def latent_row_delta(cm: CompiledModel, rel: dict, arenas: dict,
     slot = jnp.asarray(slot)
     cap0 = cm.layouts[cid].capacity
     m = rel[cid]["alive"][slot] & (slot >= 0) & (slot < cap0)
-    _fk_delta(cm, rel, arenas, cid, slot, sign, m)
+    _fk_delta(cm, rel, arenas, cid, slot, sign, m, dense=dense)
     return rel
 
 
@@ -187,7 +207,7 @@ def hop_move(cm: CompiledModel, rel: dict, arenas: dict, cid: ClassID,
 
 
 def row_delta(cm: CompiledModel, rel: dict, arenas: dict, obs_arrays: dict,
-              cid: ClassID, slot, sign: int) -> dict:
+              cid: ClassID, slot, sign: int, dense: bool = False) -> dict:
     """rel ± one observed-class row's outgoing relational contributions.
 
     The incremental twin of `refresh`: where refresh recomputes every
@@ -217,7 +237,7 @@ def row_delta(cm: CompiledModel, rel: dict, arenas: dict, obs_arrays: dict,
     # out-of-range slots are a no-op (refresh's arange != slot matches
     # nothing); without the gate the gather would clamp to the last row
     m = arenas[cid]["alive"][slot] & (slot >= 0) & (slot < cap0)
-    _fk_delta(cm, rel, arenas, cid, slot, sign, m)
+    _fk_delta(cm, rel, arenas, cid, slot, sign, m, dense=dense)
 
     for (src, ov, chain, (tc, tv)) in propagated_obs_specs(cm):
         if src != cid:
@@ -229,15 +249,32 @@ def row_delta(cm: CompiledModel, rel: dict, arenas: dict, obs_arrays: dict,
             t = arenas[hop_cid]["values"][fkv][t]
         code, cnt = rel[tc]["prop"][tv]
         dd = jnp.asarray(sign, jnp.int32) * sm.astype(jnp.int32)
-        cnt2 = cnt.at[t].add(dd, mode="drop")
         cval = jnp.asarray(codes)[slot].astype(code.dtype)
-        if sign > 0:
-            code2 = code.at[t].max(jnp.where(sm, cval, code.dtype.type(0)),
-                                   mode="drop")
+        if dense:
+            cap_t = cm.layouts[tc].capacity
+            inb = (t >= 0) & (t < cap_t)
+            dd = jnp.where(inb, dd, 0)
+            hit = jnp.arange(cap_t) == t
+            cnt2 = cnt + dd * hit.astype(jnp.int32)
+            cnt2_t = cnt[t] + dd
+            if sign > 0:
+                code2 = jnp.where(
+                    hit, jnp.maximum(code, jnp.where(sm, cval,
+                                                     code.dtype.type(0))),
+                    code)
+            else:
+                code2 = jnp.where(
+                    hit & jnp.logical_not(cnt2_t > 0), code.dtype.type(0),
+                    code)
         else:
-            code2 = code.at[t].set(
-                jnp.where(cnt2[t] > 0, code[t], code.dtype.type(0)),
-                mode="drop")
+            cnt2 = cnt.at[t].add(dd, mode="drop")
+            if sign > 0:
+                code2 = code.at[t].max(
+                    jnp.where(sm, cval, code.dtype.type(0)), mode="drop")
+            else:
+                code2 = code.at[t].set(
+                    jnp.where(cnt2[t] > 0, code[t], code.dtype.type(0)),
+                    mode="drop")
         rel[tc]["prop"][tv] = (code2, cnt2)
     return rel
 

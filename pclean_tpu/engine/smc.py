@@ -222,10 +222,16 @@ def mh_row_step(eng, cid: ClassID, arenas: dict, rel: dict, params: dict,
         # [B] axis (latent capacities, not data size). Co-reference
         # blindness within a batch remains the one batched approximation.
         from .refresh import latent_row_delta, row_delta
+        # dense=True: this function runs vmapped over the batch axis, where
+        # the scatter form of the deltas materialises [B, cap] copies of
+        # every touched rel leaf (each single-index scatter is a fusion
+        # barrier); the elementwise one-hot form fuses into the enumeration
+        # consumers instead (measured 6x sweep / 4.7x init cost at B=64).
         if cm.layouts[cid].observed:
-            rel = row_delta(cm, rel, arenas, eng.obs_dev, cid, s, -1)
+            rel = row_delta(cm, rel, arenas, eng.obs_dev, cid, s, -1,
+                            dense=True)
         elif cm.layouts[cid].fk_vertices:
-            rel = latent_row_delta(cm, rel, arenas, cid, s, -1)
+            rel = latent_row_delta(cm, rel, arenas, cid, s, -1, dense=True)
     kp, kr, ka = jax.random.split(k, 3)
     env_p, w_p, births = eng._propose_packed(cid, arenas, rel, params, s, kp,
                                              False, ext_hists=ext_hists,

@@ -241,3 +241,28 @@ def test_hop_move_after_latent_fk_rewrite():
             if moved >= 3:
                 return
     assert moved > 0
+
+
+def test_dense_delta_matches_scatter_delta():
+    """The vmap-friendly elementwise (one-hot) formulation of the deltas
+    must be bitwise identical to the scatter formulation — including
+    out-of-range slots (mode="drop" semantics) and both signs."""
+    from pclean_tpu.engine.refresh import latent_row_delta
+
+    cm = chain_cm()
+    eng, arenas, _params = reachable_state(cm)
+    rel = refresh(cm, arenas, eng.obs_dev)
+    for slot in [0, 1, 5, 23, 30, -1, 999]:
+        s = jnp.asarray(slot)
+        for sign in (-1, +1):
+            a = row_delta(cm, rel, arenas, eng.obs_dev, "Record", s, sign)
+            b = row_delta(cm, rel, arenas, eng.obs_dev, "Record", s, sign,
+                          dense=True)
+            assert_trees_equal(a, b, what=f"obs slot {slot} sign {sign}")
+    for slot in [0, 2, 11, 31, -1]:
+        s = jnp.asarray(slot)
+        for sign in (-1, +1):
+            a = latent_row_delta(cm, rel, arenas, "Hospital", s, sign)
+            b = latent_row_delta(cm, rel, arenas, "Hospital", s, sign,
+                                 dense=True)
+            assert_trees_equal(a, b, what=f"lat slot {slot} sign {sign}")
