@@ -83,6 +83,11 @@ class CompiledModel:
         self.lm: Optional[CharBigramLM] = None
         # device-side constant pools filled in _finalize
         self.consts: dict[str, Any] = {}
+        # large host arrays passed to step programs as ARGUMENTS instead of
+        # embedded literals (see engine/interned.py); populated after
+        # kernel build + data interning in compile_model
+        from .interned import InternTable
+        self.interned = InternTable()
         # set by _audit_exact_gibbs during compile_model
         self.exact_gibbs_ok: bool = True
 
@@ -151,6 +156,14 @@ def compile_model(model: Model, datasets: Sequence[ObservedDataset],
     _collect_param_meta(cm)
     cm.exact_gibbs_ok = _audit_exact_gibbs(cm)
     cm.ref_bounds = _referrer_bounds(cm)
+    # intern the remaining large host arrays the programs trace over:
+    # compute tables and the per-dataset observation code/state columns
+    for v in cm.tables.values():
+        cm.interned.register(v)
+    for spec in cm.obs_specs:
+        for vid, (codes, state) in spec.columns.items():
+            cm.interned.register(codes)
+            cm.interned.register(state)
     return cm
 
 
@@ -526,7 +539,10 @@ def _build_kernels(cm: CompiledModel) -> None:
                 continue
             if (cid, vid) != cm.canon(cid, vid):
                 continue
-            cm.kernels[(cid, vid)] = kernels.build_kernel(cm, cid, vid, node)
+            k = kernels.build_kernel(cm, cid, vid, node)
+            k._use = cm.interned.use
+            cm.interned.register_tree(k)
+            cm.kernels[(cid, vid)] = k
 
 
 def _fix_layouts(cm: CompiledModel, datasets: Sequence[ObservedDataset],

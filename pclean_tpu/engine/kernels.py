@@ -50,6 +50,11 @@ class DistKernel:
     supports_missing = False
     V: Optional[int] = None  # domain size for categorical-valued nodes
     dummy_code: Optional[int] = None
+    # interned-constant accessor (see engine/interned.py): build_kernel
+    # rebinds this to cm.interned.use so large host attributes (typo
+    # matrices, list masks, score tables) become program ARGUMENTS
+    # instead of embedded literals; the default is the literal path.
+    _use = staticmethod(jnp.asarray)
     # False for kernels whose sample_prior is deterministic (modal) — the
     # tracer then skips the per-node PRNG split, which matters inside
     # sequential scans where key threading is serial latency
@@ -139,7 +144,7 @@ class _ChooseProportionallyK(DistKernel):
 
     def _logw(self, ctx):
         if self.param_key is None:
-            return jnp.asarray(self.static_logw)
+            return self._use(self.static_logw)
         logv = ctx.pstate(*self.param_key)["log_value"][0]  # [num_options]
         pad = self.V - logv.shape[0]
         if pad > 0:
@@ -184,15 +189,15 @@ class _ChooseUniformlyK(DistKernel):
     def enum_logits(self, ctx):
         if self.dynamic:
             lc = ctx.value(self.node.arg_ids["options"])
-            m = jnp.asarray(self.mask)[lc]  # [*, V]
-            n = jnp.asarray(self.lens)[lc].astype(jnp.float32)
+            m = self._use(self.mask)[lc]  # [*, V]
+            n = self._use(self.lens)[lc].astype(jnp.float32)
             return jnp.where(m, -jnp.log(n)[..., None], NINF)
-        return jnp.where(jnp.asarray(self.mask), -math.log(self.n_raw), NINF)
+        return jnp.where(self._use(self.mask), -math.log(self.n_raw), NINF)
 
     def obs_logdensity(self, ctx, obs):
         if self.dynamic:
             lc = ctx.value(self.node.arg_ids["options"])
-            n = jnp.asarray(self.lens)[lc].astype(jnp.float32)
+            n = self._use(self.lens)[lc].astype(jnp.float32)
             return -jnp.log(n) + 0.0 * obs
         return jnp.full(jnp.shape(obs), -math.log(self.n_raw))
 
@@ -237,11 +242,11 @@ class _AtomPriorK(DistKernel):
     def enum_logits(self, ctx):
         if self.dynamic:
             lc = ctx.value(self.node.arg_ids["atoms"])
-            return jnp.asarray(self.enum_mat)[lc]
-        return jnp.asarray(self.enum_vec)
+            return self._use(self.enum_mat)[lc]
+        return self._use(self.enum_vec)
 
     def obs_logdensity(self, ctx, obs):
-        return jnp.asarray(self.score_vec)[obs]
+        return self._use(self.score_vec)[obs]
 
     def sample_prior(self, ctx, key):
         return jax.random.categorical(key, self.enum_logits(ctx))
@@ -292,7 +297,7 @@ class _AddTyposK(DistKernel):
 
     def obs_logdensity(self, ctx, obs):
         word = ctx.value(self.node.arg_ids["word"])
-        return jnp.asarray(self.M)[obs, word]
+        return self._use(self.M)[obs, word]
 
     def missing_logdensity(self, ctx):
         return 0.0  # add_typos.jl:51-53
@@ -353,7 +358,7 @@ class _MaybeSwapK(DistKernel):
     def _loglen(self, ctx):
         if self.dynamic_opts:
             lc = ctx.value(self.node.arg_ids["options"])
-            return jnp.log(jnp.asarray(self.lens)[lc].astype(jnp.float32))
+            return jnp.log(self._use(self.lens)[lc].astype(jnp.float32))
         return math.log(self.n)
 
     def obs_logdensity(self, ctx, obs):
@@ -367,9 +372,9 @@ class _MaybeSwapK(DistKernel):
         val = ctx.value(self.node.arg_ids["val"])
         if self.dynamic_opts:
             lc = ctx.value(self.node.arg_ids["options"])
-            member = jnp.asarray(self.mask)[lc, val]
+            member = self._use(self.mask)[lc, val]
         else:
-            member = jnp.asarray(self.mask)[val]
+            member = self._use(self.mask)[val]
         return jnp.where(member, 0.0, -1000.0)
 
     def sample_prior(self, ctx, key):
@@ -378,9 +383,9 @@ class _MaybeSwapK(DistKernel):
         k1, k2 = jax.random.split(key)
         if self.dynamic_opts:
             lc = ctx.value(self.node.arg_ids["options"])
-            logits = jnp.where(jnp.asarray(self.mask)[lc], 0.0, NINF)
+            logits = jnp.where(self._use(self.mask)[lc], 0.0, NINF)
         else:
-            logits = jnp.where(jnp.asarray(self.mask), 0.0, NINF)
+            logits = jnp.where(self._use(self.mask), 0.0, NINF)
         alt = jax.random.categorical(k1, logits)
         swap = jax.random.bernoulli(k2, p)
         return jnp.where(swap, alt, val)
@@ -516,28 +521,28 @@ class _ExpandK(DistKernel):
 
     def obs_logdensity(self, ctx, obs):
         val = ctx.value(self.node.arg_ids["val"])
-        ok = jnp.asarray(self.S)[val, obs]
+        ok = self._use(self.S)[val, obs]
         if self.dyn:
             lc = ctx.value(self.node.arg_ids["options"])
-            cnt = jnp.asarray(self.cnt)[val, lc].astype(jnp.float32)
+            cnt = self._use(self.cnt)[val, lc].astype(jnp.float32)
         else:
-            cnt = jnp.asarray(self.cnt)[val].astype(jnp.float32)
+            cnt = self._use(self.cnt)[val].astype(jnp.float32)
         return jnp.where(ok, -jnp.log(cnt), -1000.0)
 
     def missing_logdensity(self, ctx):
         val = ctx.value(self.node.arg_ids["val"])
         if self.dyn:
             lc = ctx.value(self.node.arg_ids["options"])
-            return jnp.where(jnp.asarray(self.val_in_opts)[val, lc], 0.0, -1000.0)
-        return jnp.where(jnp.asarray(self.val_in_opts)[val], 0.0, -1000.0)
+            return jnp.where(self._use(self.val_in_opts)[val, lc], 0.0, -1000.0)
+        return jnp.where(self._use(self.val_in_opts)[val], 0.0, -1000.0)
 
     def sample_prior(self, ctx, key):
         val = ctx.value(self.node.arg_ids["val"])
         if self.dyn:
             lc = ctx.value(self.node.arg_ids["options"])
-            mask = jnp.asarray(self.S)[val] & jnp.asarray(self.opt_mask)[lc]
+            mask = self._use(self.S)[val] & self._use(self.opt_mask)[lc]
         else:
-            mask = jnp.asarray(self.S)[val] & jnp.asarray(self.opt_mask)
+            mask = self._use(self.S)[val] & self._use(self.opt_mask)
         logits = jnp.where(mask, 0.0, NINF)
         any_ok = jnp.any(mask, axis=-1)
         drawn = jax.random.categorical(key, logits)
@@ -624,12 +629,12 @@ class _FormatNameK(DistKernel):
 
     def obs_logdensity(self, ctx, obs):
         if self.arity == 1:
-            return jnp.asarray(self.tbl)[obs, ctx.value(self.node.arg_ids["name0"])]
+            return self._use(self.tbl)[obs, ctx.value(self.node.arg_ids["name0"])]
         f = ctx.value(self.node.arg_ids["name0"])
         m = ctx.value(self.node.arg_ids["name1"])
         l = ctx.value(self.node.arg_ids["name2"])
-        t3 = jnp.asarray(self.T3)[obs]  # [..., S3, 3]
-        t2 = jnp.asarray(self.T2)[obs]  # [..., S2, 2]
+        t3 = self._use(self.T3)[obs]  # [..., S3, 3]
+        t2 = self._use(self.T2)[obs]  # [..., S2, 2]
         f_, m_, l_ = (jnp.asarray(x)[..., None] for x in (f, m, l))
         hit3 = jnp.any((t3[..., 0] == f_) & (t3[..., 1] == m_)
                        & (t3[..., 2] == l_), axis=-1)
@@ -639,7 +644,7 @@ class _FormatNameK(DistKernel):
 
     def missing_logdensity(self, ctx):
         if self.arity == 1:
-            return jnp.asarray(self.miss)[ctx.value(self.node.arg_ids["name0"])]
+            return self._use(self.miss)[ctx.value(self.node.arg_ids["name0"])]
         return 0.0  # format_name.jl:16-18
 
     prior_needs_key = False
@@ -654,7 +659,7 @@ class _FormatNameK(DistKernel):
         f = ctx.value(self.node.arg_ids["name0"])
         m = ctx.value(self.node.arg_ids["name1"])
         l = ctx.value(self.node.arg_ids["name2"])
-        t3 = jnp.asarray(self.T3)  # [V, S3, 3]
+        t3 = self._use(self.T3)  # [V, S3, 3]
         f_, m_, l_ = (jnp.asarray(x)[..., None, None] for x in (f, m, l))
         hit = jnp.any((t3[..., 0] == f_) & (t3[..., 1] == m_)
                       & (t3[..., 2] == l_), axis=-1)  # [..., V]
@@ -676,7 +681,7 @@ class _NumberCodeK(DistKernel):
     prior_needs_key = False
 
     def obs_logdensity(self, ctx, obs):
-        return jnp.asarray(self.score)[obs]
+        return self._use(self.score)[obs]
 
     def sample_prior(self, ctx, key):
         return jnp.zeros((), dtype=jnp.int32)

@@ -148,7 +148,6 @@ def pg_init_step(engine, cid: ClassID, num_particles: int):
     (arenas, log_ml)."""
     cm = engine.cm
 
-    @jax.jit
     def step(arenas, params, slot, keys_all):
         key = keys_all[slot]
         pkeys = jax.random.split(key, num_particles)
@@ -160,7 +159,7 @@ def pg_init_step(engine, cid: ClassID, num_particles: int):
                            accept=acc, mark_alive=True)
         return arenas, log_ml
 
-    return step
+    return engine._program(None, step)
 
 
 def pg_rejuv_step(engine, cid: ClassID, num_particles: int):
@@ -168,7 +167,6 @@ def pg_rejuv_step(engine, cid: ClassID, num_particles: int):
     final selection by weight (PG rule, row_inference.jl:164)."""
     cm = engine.cm
 
-    @jax.jit
     def step(arenas, params, slot, keys_all):
         key = keys_all[slot]
         pkeys = jax.random.split(key, num_particles)
@@ -183,4 +181,4 @@ def pg_rejuv_step(engine, cid: ClassID, num_particles: int):
                            accept=alive & acc, mark_alive=False)
         return arenas, log_ml
 
-    return step
+    return engine._program(None, step)

@@ -190,7 +190,7 @@ class BlockTracer:
         assert isinstance(node, ComputeNode)
         if node.kind == "jax":
             return node.fn(*[value_of(a) for a in node.arg_ids])
-        tbl = jnp.asarray(self.cm.tables[self.cm.canon(self.cid, vid)])
+        tbl = self.cm.interned.use(self.cm.tables[self.cm.canon(self.cid, vid)])
         args = tuple(value_of(a) for a in node.arg_ids)
         return tbl[args] if len(args) != 1 else tbl[args[0]]
 
@@ -429,7 +429,7 @@ class BlockTracer:
                 elif snode.kind == "jax":
                     v = snode.fn(*[ext_value(a) for a in snode.arg_ids])
                 else:
-                    tbl = jnp.asarray(self.cm.tables[self.cm.canon(src, svid)])
+                    tbl = self.cm.interned.use(self.cm.tables[self.cm.canon(src, svid)])
                     args = tuple(ext_value(a) for a in snode.arg_ids)
                     v = tbl[args] if len(args) != 1 else tbl[args[0]]
             else:
@@ -476,7 +476,7 @@ class BlockTracer:
             elif ext.kind == "jax":
                 v = ext.fn(*[ext_value(a) for a in ext.arg_ids])
             else:
-                tbl = jnp.asarray(self.cm.tables[self.cm.canon(src, node.ext_id)])
+                tbl = self.cm.interned.use(self.cm.tables[self.cm.canon(src, node.ext_id)])
                 args = tuple(ext_value(a) for a in ext.arg_ids)
                 v = tbl[args] if len(args) != 1 else tbl[args[0]]
             cache[node.ext_id] = v
@@ -562,7 +562,7 @@ class BlockTracer:
             else:
                 hist = jnp.zeros((V,), jnp.float32).at[val].add(
                     jnp.where(w, 1.0, 0.0), mode="drop")
-            termvec = hist @ jnp.asarray(kern.M)  # [V_lat]
+            termvec = hist @ self.cm.interned.use(kern.M)  # [V_lat]
             arg = self.aligned(inv[word_sv], depth)
             return termvec[arg]
         # composed case: word is a table ComputeNode over env-aligned +
@@ -592,6 +592,7 @@ class BlockTracer:
             SA = np.ascontiguousarray(
                 np.asarray(kern.M).T[np.transpose(tbl, order)])
             sa_cache[cache_key] = SA
+            self.cm.interned.register(SA)
         env_idx = [self.aligned(inv[a], depth) for a in env_args]
         if ref_args:
             rv = ext_value(ref_args[0])
@@ -601,12 +602,12 @@ class BlockTracer:
             H = jnp.zeros((Vc, V), jnp.float32).at[rv, val].add(
                 jnp.where(w, 1.0, 0.0), mode="drop")
             ne = len(env_args)
-            termvec = jnp.reshape(jnp.asarray(SA), SA.shape[:ne] + (-1,)) \
+            termvec = jnp.reshape(self.cm.interned.use(SA), SA.shape[:ne] + (-1,)) \
                 @ jnp.ravel(H)  # [Venv...]
         else:
             hist = jnp.zeros((V,), jnp.float32).at[val].add(
                 jnp.where(w, 1.0, 0.0), mode="drop")
-            termvec = jnp.reshape(jnp.asarray(SA), SA.shape[:-1] + (-1,)) \
+            termvec = jnp.reshape(self.cm.interned.use(SA), SA.shape[:-1] + (-1,)) \
                 .reshape((-1, V)) @ hist
             termvec = jnp.reshape(termvec, SA.shape[:len(env_args)])
         return termvec[tuple(env_idx)]
@@ -621,8 +622,8 @@ class BlockTracer:
         oa = self.obs_arrays.get(src, {}).get(svid)
         if oa is not None:
             codes, state = oa
-            codes = jnp.asarray(codes)[slots]
-            state = jnp.asarray(state)[slots]
+            codes = self.cm.interned.use(codes)[slots]
+            state = self.cm.interned.use(state)[slots]
             stored = self.row_value(src, svid, slots)
             val = jnp.where(state == 1, codes, stored)
             return val, state
@@ -954,7 +955,7 @@ def row_value(cm: CompiledModel, arenas: dict, params: dict, cls: ClassID,
         if node.kind == "jax":
             return node.fn(*[row_value(cm, arenas, params, cls, a, slot)
                              for a in node.arg_ids])
-        tbl = jnp.asarray(cm.tables[cm.canon(cls, vid)])
+        tbl = cm.interned.use(cm.tables[cm.canon(cls, vid)])
         args = tuple(row_value(cm, arenas, params, cls, a, slot)
                      for a in node.arg_ids)
         return tbl[args] if len(args) != 1 else tbl[args[0]]

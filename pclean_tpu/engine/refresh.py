@@ -161,8 +161,8 @@ def hop_histograms(cm: CompiledModel, cid: ClassID, arenas: dict,
             if hop_cid != cid:
                 continue
             codes, state = obs_arrays[src][ov]
-            codes = jnp.asarray(codes)
-            mask = arenas[src]["alive"] & (jnp.asarray(state) == 1)
+            codes = cm.interned.use(codes)
+            mask = arenas[src]["alive"] & (cm.interned.use(state) == 1)
             t = jnp.arange(cm.layouts[src].capacity)
             for (hc, fv) in chain[:k]:
                 t = arenas[hc]["values"][fv][t]
@@ -243,13 +243,13 @@ def row_delta(cm: CompiledModel, rel: dict, arenas: dict, obs_arrays: dict,
         if src != cid:
             continue
         codes, state = obs_arrays[cid][ov]
-        sm = m & (jnp.asarray(state)[slot] == 1)
+        sm = m & (cm.interned.use(state)[slot] == 1)
         t = slot
         for (hop_cid, fkv) in chain:
             t = arenas[hop_cid]["values"][fkv][t]
         code, cnt = rel[tc]["prop"][tv]
         dd = jnp.asarray(sign, jnp.int32) * sm.astype(jnp.int32)
-        cval = jnp.asarray(codes)[slot].astype(code.dtype)
+        cval = cm.interned.use(codes)[slot].astype(code.dtype)
         if dense:
             cap_t = cm.layouts[tc].capacity
             inb = (t >= 0) & (t < cap_t)
@@ -325,7 +325,8 @@ def refresh(cm: CompiledModel, arenas: dict, obs_arrays: dict,
     # Propagated observations (multi-hop gathers, scatter into target class).
     for (src, ov, chain, (tc, tv)) in propagated_obs_specs(cm):
         codes, state = obs_arrays[src][ov]
-        mask = live_mask(src) & (state == 1)
+        codes = cm.interned.use(codes)
+        mask = live_mask(src) & (cm.interned.use(state) == 1)
         slot = jnp.arange(cm.layouts[src].capacity)
         cur_cid = src
         target = None

@@ -80,6 +80,15 @@ class InferenceConfig:
     # executions mid-flight — a 50k-row one-dispatch rents sweep dies).
     # Small workloads stay one-dispatch (minimal warm-start floor).
     fused_dispatch_rows: int = 8192
+    # rows per dispatch for the SEGMENTED BATCHED drivers (init + sweep).
+    # Each segment dispatch costs a full transport round-trip on tunneled
+    # backends (~0.1-0.2 s), which dominated hospital-100k at the previous
+    # scan_segment-derived 512 rows/dispatch (196 dispatches per pass);
+    # 4096 rows/dispatch keeps single-dispatch device time at a few
+    # seconds (far below worker-kill territory) while cutting dispatch
+    # count 8x. Replay cadence coarsens with the segment (births are
+    # replayed after each segment dispatch) - semantics stay exact.
+    batch_segment_rows: int = 4096
     # The dense block proposals enumerate the full joint over each block, so
     # the MH proposal IS the conditional posterior and the acceptance ratio
     # is exactly 1 whenever every weight-bearing node is enumerable or
@@ -302,6 +311,10 @@ class Engine:
             assert config.batch_rows % mesh.shape["data"] == 0, \
                 "batch_rows must be a multiple of the mesh data axis"
         self.obs_dev = _obs_device(cm)
+        # frozen interned-constant snapshot (engine/interned.py): uploaded
+        # once per process; every step program receives it as a trailing
+        # argument so large model data never embeds as program literals.
+        self._interned_dev = cm.interned.device_leaves()
         self._init_step_fns: dict[ClassID, callable] = {}
         self._rejuv_step_fns: dict[ClassID, callable] = {}
         from .aot import AotCache
@@ -438,8 +451,9 @@ class Engine:
                 # Python state 1: the tracer then skips the unobserved
                 # branch entirely (no prior draw, no enumeration axis, no
                 # PRNG key) — a pure op-count win for fully-observed data
-                st = 1 if bool(np.all(state == 1)) else jnp.asarray(state)[slot]
-                out[vid] = (jnp.asarray(codes)[slot], st)
+                st = 1 if bool(np.all(state == 1)) \
+                    else self.cm.interned.use(state)[slot]
+                out[vid] = (self.cm.interned.use(codes)[slot], st)
         for vid, (code, cnt) in rel[cid]["prop"].items():
             out[vid] = (code[slot], (cnt[slot] > 0).astype(jnp.int8))
         return out
@@ -482,7 +496,6 @@ class Engine:
             return self._init_step_fns[key_name]
         cm = self.cm
 
-        @jax.jit
         def step(arenas, params, slots, keys_all):
             keys = keys_all[slots]
             rel = refresh(cm, arenas, self.obs_dev)
@@ -497,6 +510,7 @@ class Engine:
                                   mark_alive=True)
             return arenas, birthy
 
+        step = self._program(None, step)
         self._init_step_fns[key_name] = step
         return step
 
@@ -508,7 +522,6 @@ class Engine:
             return self._rejuv_step_fns[key_name]
         cm = self.cm
 
-        @jax.jit
         def step(arenas, params, slots, keys_all):
             keys = keys_all[slots]
             # NOTE: the frozen snapshot does not exclude each row's own
@@ -538,6 +551,7 @@ class Engine:
                                   mark_alive=False)
             return arenas, birthy
 
+        step = self._program(None, step)
         self._rejuv_step_fns[key_name] = step
         return step
 
@@ -547,7 +561,6 @@ class Engine:
             return self._init_step_fns[cid]
         cm = self.cm
 
-        @jax.jit
         def step(arenas, params, slot, keys_all):
             key = keys_all[slot]  # indexed inside jit: an eager gather per
             # row would cost a full transport round-trip on tunneled TPUs
@@ -557,6 +570,7 @@ class Engine:
             return apply_row(cm, cid, arenas, slot, env2, births,
                              accept=jnp.asarray(True), mark_alive=True)
 
+        step = self._program(None, step)
         self._init_step_fns[cid] = step
         return step
 
@@ -567,7 +581,6 @@ class Engine:
             return self._rejuv_step_fns[cid]
         cm = self.cm
 
-        @jax.jit
         def step(arenas, params, slot, keys_all):
             key = keys_all[slot]
             rel = refresh(cm, arenas, self.obs_dev, exclude_cid=cid,
@@ -585,8 +598,100 @@ class Engine:
             return apply_row(cm, cid, arenas, slot, env_p, births_p,
                              accept=accept, mark_alive=False)
 
+        step = self._program(None, step)
         self._rejuv_step_fns[cid] = step
         return step
+
+
+    def _program(self, name, fn):
+        """jit (+ AOT-cache when `name` is given) a step program with the
+        interned-constant tuple threaded as a trailing argument. Call sites
+        keep fn's original signature; the wrapper appends the frozen
+        device-resident snapshot (see engine/interned.py)."""
+        it = self.cm.interned
+
+        @jax.jit
+        def wrapped(*args):
+            *real, leaves = args
+            with it.bind(leaves):
+                return fn(*real)
+
+        if name is not None:
+            wrapped = self._aot.wrap(name, wrapped)
+
+        def call(*args):
+            return wrapped(*args, self._interned_dev)
+        return call
+
+    def _replay_chunk(self, cid: ClassID, R: int, rejuv: bool):
+        """Jitted: sequentially incorporate up to R flagged rows in ONE
+        dispatch (a lax.scan whose body is exactly the init_step/rejuv_step
+        program). Padded slots carry the out-of-range value `cap`: every
+        scatter drops them (JAX out-of-bounds scatter semantics) and the
+        accept mask gates the birth writes, so they are exact no-ops. Pure
+        dispatch-count win: the eager per-row replay loop pays one tunnel
+        round-trip per birthing row (~991 rows on hospital-100k)."""
+        ck = ("replay", cid, R, rejuv)
+        if ck in self._rejuv_step_fns:
+            return self._rejuv_step_fns[ck]
+        cm = self.cm
+        cap = cm.layouts[cid].capacity
+
+        def run(arenas, params, slots, keys_all):
+            def body(ar, s):
+                valid = s < cap
+                key = keys_all[jnp.minimum(s, cap - 1)]
+                if rejuv:
+                    rel = refresh(cm, ar, self.obs_dev, exclude_cid=cid,
+                                  exclude_slot=s)
+                    kp, kr, ka = jax.random.split(key, 3)
+                    env_p, births_p, w_p = self._propose(
+                        cid, ar, rel, params, s, kp, force_retained=False)
+                    _er, _br, w_r = self._propose(
+                        cid, ar, rel, params, s, kr, force_retained=True)
+                    alive = ar[cid]["alive"][s] \
+                        if cm.layouts[cid].observed else rel[cid]["alive"][s]
+                    accept = (jnp.log(jax.random.uniform(ka))
+                              < (w_p - w_r)) & alive & valid
+                    ar2 = apply_row(cm, cid, ar, s, env_p, births_p,
+                                    accept=accept, mark_alive=False)
+                else:
+                    rel = refresh(cm, ar, self.obs_dev)
+                    env2, births, _w = self._propose(
+                        cid, ar, rel, params, s, key, force_retained=False)
+                    ar2 = apply_row(cm, cid, ar, s, env2, births,
+                                    accept=valid, mark_alive=True)
+                return ar2, jnp.zeros((), jnp.int32)
+
+            arenas, _ = jax.lax.scan(body, arenas, slots)
+            return arenas
+
+        run = self._program(
+            f"replay_{'r' if rejuv else 'i'}{R}_{cid}", run)
+        self._rejuv_step_fns[ck] = run
+        return run
+
+    def replay_rows(self, cid: ClassID, arenas, params, idx, keys_all,
+                    rejuv: bool, chunk: int = 32):
+        """Sequentially replay the flagged (entity-birthing) rows: jitted
+        chunks of `chunk` rows, one dispatch per chunk instead of one per
+        row. Bitwise-identical to the eager loop (same key stream
+        keys_all[slot], same per-row program)."""
+        n = len(idx)
+        if n == 0:
+            return arenas
+        if n == 1:  # plain per-row step: no padded device work
+            step = self.rejuv_step(cid) if rejuv else self.init_step(cid)
+            return step(arenas, params, int(idx[0]), keys_all)
+        cap = self.cm.layouts[cid].capacity
+        run = self._replay_chunk(cid, chunk, rejuv)
+        for i in range(0, n, chunk):
+            part = np.asarray(idx[i:i + chunk], np.int32)
+            if part.size < chunk:
+                part = np.concatenate(
+                    [part, np.full(chunk - part.size, cap, np.int32)])
+            arenas = run(arenas, params, jnp.asarray(part), keys_all)
+        return arenas
 
     # ---------------------------------------------------- fused scan drivers
 
@@ -608,7 +713,6 @@ class Engine:
         from .gibbs_params import resample_all
         from .refresh import row_delta
 
-        @jax.jit
         def run(arenas, params, base, keys):  # keys: [seg, 2]
             # relational state is carried through the scan and updated by
             # exact point deltas as rows incorporate (incremental_refresh);
@@ -647,7 +751,7 @@ class Engine:
                 body, (arenas, params, rel0), (jnp.arange(seg), keys))
             return arenas, params
 
-        run = self._aot.wrap(f"scan_init_{cid}_{seg}_{num_rows}", run)
+        run = self._program(f"scan_init_{cid}_{seg}_{num_rows}", run)
         self._init_step_fns[ck] = (run, seg)
         return run, seg
 
@@ -675,7 +779,6 @@ class Engine:
         from .gibbs_params import resample_all
         from .particles import propose_row_pg
 
-        @jax.jit
         def run(arenas, params, base, keys):  # keys: [seg, 2]
             def body(carry, x):
                 arenas, params, log_ml = carry
@@ -709,7 +812,7 @@ class Engine:
                 (jnp.arange(seg), keys))
             return arenas, params, log_ml
 
-        run = self._aot.wrap(f"scan_init_pg_{cid}_{seg}_{num_rows}_p{P}", run)
+        run = self._program(f"scan_init_pg_{cid}_{seg}_{num_rows}_p{P}", run)
         self._init_step_fns[ck] = (run, seg)
         return run, seg
 
@@ -730,7 +833,6 @@ class Engine:
         from .gibbs_params import resample_all
         from .particles import propose_row_pg
 
-        @jax.jit
         def run(arenas, params, base, keys):  # keys: [seg, 2]
             def body(carry, x):
                 arenas, params = carry
@@ -760,7 +862,7 @@ class Engine:
                 body, (arenas, params), (jnp.arange(seg), keys))
             return arenas, params
 
-        run = self._aot.wrap(f"scan_sweep_pg_{cid}_{seg}_p{P}", run)
+        run = self._program(f"scan_sweep_pg_{cid}_{seg}_p{P}", run)
         self._rejuv_step_fns[ck] = (run, seg)
         return run, seg
 
@@ -781,7 +883,7 @@ class Engine:
         params, flags[seg_b*B]), nb, seg_b); `base` is the first batch
         index of the segment."""
         nb = (num_rows + B - 1) // B
-        seg_b = max(1, min(self.config.scan_segment, num_rows) // B)
+        seg_b = max(1, min(self.config.batch_segment_rows, num_rows) // B)
         seg_b = min(seg_b, nb)
         ck = ("scan_init_b", cid, B, num_rows, seg_b)
         if ck in self._init_step_fns:
@@ -790,7 +892,6 @@ class Engine:
         R = max(1, self.config.rejuv_frequency // B)
         from .gibbs_params import resample_all
 
-        @jax.jit
         def run(arenas, params, base, keys):  # keys: [seg_b*B, 2]
             def body(carry, x):
                 arenas, params = carry
@@ -817,7 +918,7 @@ class Engine:
                 (jnp.arange(seg_b), keys.reshape(seg_b, B, 2)))
             return arenas, params, flags.reshape(-1)
 
-        run = self._aot.wrap(f"scan_init_b{B}_{cid}_{num_rows}_s{seg_b}", run)
+        run = self._program(f"scan_init_b{B}_{cid}_{num_rows}_s{seg_b}", run)
         self._init_step_fns[ck] = (run, nb, seg_b)
         return run, nb, seg_b
 
@@ -923,11 +1024,10 @@ class Engine:
         if ck in self._rejuv_step_fns:
             return self._rejuv_step_fns[ck]
 
-        @jax.jit
         def run(arenas, params, base, keys):
             return self._sweep_segment(cid, arenas, params, base, keys, cap)
 
-        run = self._aot.wrap(f"scan_sweep_{cid}_{seg}", run)
+        run = self._program(f"scan_sweep_{cid}_{seg}", run)
         self._rejuv_step_fns[ck] = (run, seg)
         return run, seg
 
@@ -950,7 +1050,6 @@ class Engine:
         caps = {cid: cm.layouts[cid].capacity for cid in cm.model.class_order}
         total = sum(caps.values())
 
-        @jax.jit
         def run(arenas, params, keys):  # keys: [total, 2]
             off = 0
             for cid in cm.model.class_order:
@@ -960,7 +1059,7 @@ class Engine:
                 off += caps[cid]
             return arenas, params
 
-        run = self._aot.wrap("scan_sweep_all", run)
+        run = self._program("scan_sweep_all", run)
         self._rejuv_step_fns[ck] = (run, total, caps)
         return run, total, caps
 
@@ -1016,7 +1115,6 @@ class Engine:
                 for cid in cm.model.class_order}
         total = sum(caps.values())
 
-        @jax.jit
         def run(arenas, params, keys):  # keys: [total, 2]
             off = 0
             flags = {}
@@ -1028,7 +1126,7 @@ class Engine:
                 off += caps[cid]
             return arenas, params, flags
 
-        run = self._aot.wrap(f"scan_sweep_all_b{B}", run)
+        run = self._program(f"scan_sweep_all_b{B}", run)
         self._rejuv_step_fns[ck] = (run, total, caps)
         return run, total, caps
 
@@ -1042,7 +1140,7 @@ class Engine:
         params, flags[seg_b*B]), nb, seg_b)."""
         cap = self.cm.layouts[cid].capacity
         nb = (cap + B - 1) // B
-        seg_b = max(1, min(self.config.scan_segment, cap) // B)
+        seg_b = max(1, min(self.config.batch_segment_rows, cap) // B)
         seg_b = min(seg_b, nb)
         ck = ("scan_sweep_class_b", cid, B, seg_b)
         if ck in self._rejuv_step_fns:
@@ -1053,7 +1151,6 @@ class Engine:
 
         leaf = self._leaf_latent(cid)
 
-        @jax.jit
         def run(arenas, params, base, keys):  # keys: [seg_b*B, 2]
             relc = refresh(cm, arenas, self.obs_dev)
             rel0 = relc if leaf else None
@@ -1087,7 +1184,7 @@ class Engine:
                 (jnp.arange(seg_b), keys.reshape(seg_b, B, 2)))
             return arenas, params, flags.reshape(-1)
 
-        run = self._aot.wrap(f"scan_sweep_cb{B}_{cid}_s{seg_b}", run)
+        run = self._program(f"scan_sweep_cb{B}_{cid}_s{seg_b}", run)
         self._rejuv_step_fns[ck] = (run, nb, seg_b)
         return run, nb, seg_b
 
@@ -1188,7 +1285,6 @@ class Engine:
                 # The loop (and its key stream) is identical for the
                 # sharded and single-device programs, so their results
                 # match bitwise (tests/test_sharded_equiv.py).
-                step = None
                 key, bulk = jax.random.split(key)
                 rkeys = jax.random.split(bulk, nb * B)
                 n_replayed = 0
@@ -1202,10 +1298,8 @@ class Engine:
                     hi = min((base + seg_b) * B, spec.num_rows)
                     idx = np.flatnonzero(_fetch_np(fl)[: hi - lo]) + lo
                     if idx.size:
-                        if step is None:
-                            step = self.init_step(cid)
-                        for s in idx:
-                            arenas = step(arenas, params, int(s), rkeys)
+                        arenas = self.replay_rows(cid, arenas, params,
+                                                  idx, rkeys, rejuv=False)
                         n_replayed += idx.size
                     if progress and (hi // progress) != (lo // progress):
                         print(f"Initialized ~{hi} of {spec.num_rows} "
@@ -1214,7 +1308,6 @@ class Engine:
                     print(f"Initialized {spec.num_rows} rows for {cid} "
                           f"(batched B={B}, {n_replayed} replayed)")
                 continue
-            step = self.init_step(cid)
             B = max(1, cfg.batch_rows)
             bstep = self.batch_init_step(cid) if B > 1 else None
             key, bulk = jax.random.split(key)
@@ -1229,8 +1322,8 @@ class Engine:
                               np.flatnonzero(np.asarray(birthy))]
                 else:
                     replay = list(range(done, done + n))
-                for s in replay:
-                    arenas = step(arenas, params, s, row_keys)
+                arenas = self.replay_rows(cid, arenas, params, replay,
+                                          row_keys, rejuv=False)
                 prev = done
                 done += n
                 if (done // cfg.rejuv_frequency) != (prev // cfg.rejuv_frequency):
@@ -1324,11 +1417,10 @@ class Engine:
                 idx = np.flatnonzero(fl[: self.cm.layouts[cid].capacity])
                 if idx.size == 0:
                     continue
-                step = self.rejuv_step(cid)
                 key, bulk = jax.random.split(key)
                 rk = jax.random.split(bulk, self.cm.layouts[cid].capacity)
-                for s in idx:
-                    arenas = step(arenas, params, int(s), rk)
+                arenas = self.replay_rows(cid, arenas, params, idx, rk,
+                                          rejuv=True)
             if progress:
                 print("sweep done (fused, batched)")
             return arenas, params, key
@@ -1348,11 +1440,10 @@ class Engine:
                     parts.append(np.asarray(fl))
                 idx = np.flatnonzero(np.concatenate(parts)[:cap])
                 if idx.size:
-                    step = self.rejuv_step(cid)
                     key, bulk = jax.random.split(key)
                     rk = jax.random.split(bulk, cap)
-                    for s in idx:
-                        arenas = step(arenas, params, int(s), rk)
+                    arenas = self.replay_rows(cid, arenas, params, idx, rk,
+                                              rejuv=True)
                 if progress:
                     print(f"{cid}: sweep done (batched, segmented)")
             return arenas, params, key

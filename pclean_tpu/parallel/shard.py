@@ -154,7 +154,7 @@ class ShardedEngine:
 
         Returns (run(arenas, params, base, keys[seg_b*B, 2]) -> (arenas,
         params, flags[seg_b*B]), nb, seg_b)."""
-        seg_b = max(1, min(self.eng.config.scan_segment, num_rows) // B)
+        seg_b = max(1, min(self.eng.config.batch_segment_rows, num_rows) // B)
         nb = (num_rows + B - 1) // B
         seg_b = min(seg_b, nb)
         key = ("scan_init_b", cid, B, num_rows, seg_b)

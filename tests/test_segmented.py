@@ -44,6 +44,6 @@ def test_segmented_batched_sweep_matches_fused():
                                  batch_rows=4))
     seg = _run(InferenceConfig(num_iters=1, rejuv_frequency=1000,
                                batch_rows=4, fused_dispatch_rows=4,
-                               scan_segment=4))
+                               scan_segment=4, batch_segment_rows=4))
     assert seg >= fused - 0.15, (seg, fused)
     assert seg > 0.5
