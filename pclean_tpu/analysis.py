@@ -139,12 +139,20 @@ def evaluate_accuracy_device(cm: CompiledModel, arenas: dict, params: dict,
             continue
         cols.append((col, vid, is_float, dp, cp, d, c, None))
 
-    def counts_fn(arenas, params):
+    # column arrays ride in as ARGUMENTS (one upload, no multi-MB
+    # embedded literals in the eval program - same rationale as
+    # engine/interned.py)
+    col_data = {col: tuple(jnp.asarray(x) for x in (d, c, dp, cp))
+                for (col, vid, _isf, dp, cp, d, c, _e) in cols
+                if vid is not None}
+
+    def counts_fn(arenas, params, col_data):
         out = {}
         rows_mask = jnp.arange(N) < row_limit
-        for (col, vid, is_float, dp, cp, d, c, eq_dc) in cols:
+        for (col, vid, is_float, _dp, _cp, _d, _c, eq_dc) in cols:
             if vid is None:
                 continue
+            dj, cj, dpj, cpj = col_data[col]
             ours = row_value(cm, arenas, params, query.class_id, vid,
                              jnp.arange(N))
             if is_float:
@@ -154,8 +162,6 @@ def evaluate_accuracy_device(cm: CompiledModel, arenas: dict, params: dict,
             else:
                 ours = ours.astype(jnp.int32)
                 eq = lambda a, b: a == b
-            dj, cj = jnp.asarray(d), jnp.asarray(c)
-            dpj, cpj = jnp.asarray(dp), jnp.asarray(cp)
             err = rows_mask & dpj & ~(eq(dj, cj) & cpj)
             chg = rows_mask & dpj & ~eq(ours, dj)
             cln = chg & eq(ours, cj) & cpj
@@ -165,7 +171,7 @@ def evaluate_accuracy_device(cm: CompiledModel, arenas: dict, params: dict,
                                   imp.sum(), imp_ok.sum()])
         return out
 
-    got = jax.jit(counts_fn)(arenas, params)
+    got = jax.jit(counts_fn)(arenas, params, col_data)
     errors = changed = cleaned = imputed = imputed_ok = 0
     for (col, vid, _isf, dp, cp, _d, _c, eq_dc) in cols:
         if vid is None:
