@@ -44,6 +44,17 @@ def make_mesh(n_data: int, n_particle: int = 1,
     return Mesh(arr, ("data", "particle"))
 
 
+
+def _with_interned(cm, fn):
+    """Bind the interned-constant tuple (trailing arg) around a shard_map
+    local body, so large host arrays ride in as replicated ARGUMENTS
+    instead of embedded literals (see engine/interned.py)."""
+    def call(*args):
+        *real, leaves = args
+        with cm.interned.bind(leaves):
+            return fn(*real)
+    return call
+
 def _scatter_apply(cm: CompiledModel, cid: ClassID, arenas: dict, slots,
                    env2: dict, ok, mark_alive: bool, axis: str) -> dict:
     """Replicated-arena update from sharded per-row results: every shard
@@ -88,6 +99,15 @@ class ShardedEngine:
         self.cm = engine.cm
         self.mesh = mesh
         self._fns = {}
+        self._it_rep = None
+
+    def _interned_rep(self):
+        """Interned-constant tuple replicated over the mesh (one upload)."""
+        if self._it_rep is None:
+            rep = NamedSharding(self.mesh, P())
+            self._it_rep = jax.device_put(
+                self.cm.interned.device_leaves(), rep)
+        return self._it_rep
 
     def _place(self, arenas, params, sharded):
         """Replicate state over the mesh, shard the per-row inputs; no-op
@@ -125,14 +145,15 @@ class ShardedEngine:
             return arenas, birthy
 
         smapped = jax.jit(jax.shard_map(
-            local, mesh=self.mesh,
-            in_specs=(P(), P(), P("data"), P("data")),
+            _with_interned(cm, local), mesh=self.mesh,
+            in_specs=(P(), P(), P("data"), P("data"), P()),
             out_specs=(P(), P("data"))))
 
         def wrapped(arenas, params, slots, keys):
             arenas, params, slots, keys = self._place(
                 arenas, params, ((slots, P("data")), (keys, P("data"))))
-            return smapped(arenas, params, slots, keys)
+            return smapped(arenas, params, slots, keys,
+                           self._interned_rep())
 
         self._fns[key] = wrapped
         return wrapped
@@ -197,14 +218,15 @@ class ShardedEngine:
             return arenas, params, flags  # [seg_b, Bl] per shard
 
         smapped = jax.jit(jax.shard_map(
-            local, mesh=self.mesh,
-            in_specs=(P(), P(), P(), P()),
+            _with_interned(cm, local), mesh=self.mesh,
+            in_specs=(P(), P(), P(), P(), P()),
             out_specs=(P(), P(), P(None, "data"))))
 
         def wrapped(arenas, params, base, keys):
             arenas, params, keys = self._place(arenas, params,
                                                ((keys, P()),))
-            arenas, params, flags = smapped(arenas, params, base, keys)
+            arenas, params, flags = smapped(arenas, params, base, keys,
+                                            self._interned_rep())
             return arenas, params, flags.reshape(-1)
 
         self._fns[key] = (wrapped, nb, seg_b)
@@ -276,14 +298,15 @@ class ShardedEngine:
             return arenas, params, flags
 
         smapped = jax.jit(jax.shard_map(
-            local, mesh=self.mesh,
-            in_specs=(P(), P(), P()),
+            _with_interned(cm, local), mesh=self.mesh,
+            in_specs=(P(), P(), P(), P()),
             out_specs=(P(), P(), P(None, "data"))))
 
         def wrapped(arenas, params, keys):
             arenas, params, keys = self._place(arenas, params,
                                                ((keys, P()),))
-            arenas, params, flags = smapped(arenas, params, keys)
+            arenas, params, flags = smapped(arenas, params, keys,
+                                            self._interned_rep())
             return arenas, params, {c: f.reshape(-1) for c, f in flags.items()}
 
         self._fns[key] = (wrapped, total, caps)
@@ -347,8 +370,9 @@ class ShardedEngine:
             return arenas, birthy
 
         smapped = jax.jit(jax.shard_map(
-            local, mesh=self.mesh,
-            in_specs=(P(), P(), P("data"), P("data", "particle"), P("data")),
+            _with_interned(cm, local), mesh=self.mesh,
+            in_specs=(P(), P(), P("data"), P("data", "particle"), P("data"),
+                      P()),
             out_specs=(P(), P("data"))))
 
         def wrapped(arenas, params, slots, keys, sel_keys):
@@ -357,7 +381,8 @@ class ShardedEngine:
                                  (keys, P("data", "particle"))))
             sel_keys = jax.device_put(
                 sel_keys, NamedSharding(self.mesh, P("data")))
-            return smapped(arenas, params, slots, keys, sel_keys)
+            return smapped(arenas, params, slots, keys, sel_keys,
+                           self._interned_rep())
 
         self._fns[key] = wrapped
         return wrapped
@@ -432,8 +457,9 @@ class ShardedEngine:
             return arenas, birthy
 
         smapped = jax.jit(jax.shard_map(
-            local, mesh=self.mesh,
-            in_specs=(P(), P(), P("data"), P("data", "particle"), P("data")),
+            _with_interned(cm, local), mesh=self.mesh,
+            in_specs=(P(), P(), P("data"), P("data", "particle"), P("data"),
+                      P()),
             out_specs=(P(), P("data"))))
 
         def wrapped(arenas, params, slots, keys, sel_keys):
@@ -442,7 +468,8 @@ class ShardedEngine:
                                  (keys, P("data", "particle"))))
             sel_keys = jax.device_put(
                 sel_keys, NamedSharding(self.mesh, P("data")))
-            return smapped(arenas, params, slots, keys, sel_keys)
+            return smapped(arenas, params, slots, keys, sel_keys,
+                           self._interned_rep())
 
         self._fns[key] = wrapped
         return wrapped
