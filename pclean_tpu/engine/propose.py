@@ -744,7 +744,7 @@ class BlockTracer:
                 valid = logits[rv] > NINF / 2
                 chosen = jnp.where(valid, rv, jnp.asarray(dummy, jnp.int32))
         else:
-            chosen = jax.random.categorical(self._keys(), logits)
+            chosen = _inv_cdf_categorical(self._keys(), logits)
         st.env2[vid] = chosen.astype(jnp.int32)
         for ch in step.rest.steps:
             self.sample_step(ch, st, anc + (chosen,), mode, ctx_key)
@@ -763,7 +763,7 @@ class BlockTracer:
             chosen = jnp.where(alive_rv, rv, jnp.asarray(K, jnp.int32))
             retained_dead = ~alive_rv
         else:
-            chosen = jax.random.categorical(self._keys(), logits).astype(jnp.int32)
+            chosen = _inv_cdf_categorical(self._keys(), logits)
         is_new = chosen == K
         # full-arena guard: with no free slot, fall back to the best-scoring
         # existing candidate instead of overwriting a live row
@@ -841,6 +841,23 @@ class BlockTracer:
 
         walk(step.rest)
         return out
+
+
+
+def _inv_cdf_categorical(key, logits):
+    """Sample from softmax(logits) along the last axis via inverse-CDF:
+    ONE scalar uniform + a cumsum, instead of jax.random.categorical's
+    Gumbel trick. Gumbel draws threefry randomness of the FULL logits
+    shape — ~30 u32 elementwise ops over the [K+1] fk-candidate axis per
+    row — which was the single largest tensor volume in the batched sweep
+    programs (u32[B,513] blocks, profile_costs.py). Exactness:
+    P(i) = softmax(logits)_i; zero-mass (-inf) entries occupy zero-width
+    intervals and are hit with probability 0."""
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    c = jnp.cumsum(p, axis=-1)
+    u = jax.random.uniform(key, c.shape[:-1] + (1,)) * c[..., -1:]
+    return jnp.sum(c < u, axis=-1).astype(jnp.int32)
 
 
 class _SampleState:

@@ -621,6 +621,7 @@ class Engine:
 
         def call(*args):
             return wrapped(*args, self._interned_dev)
+        call._wrapped = wrapped  # lowerable jit fn (profiling/introspection)
         return call
 
     def _replay_chunk(self, cid: ClassID, R: int, rejuv: bool):

@@ -57,7 +57,7 @@ def profile_workload(name, setup_fn, batch, rows, repeats, **kw):
     cm, config, dirty, clean, query, sweeps = setup_fn(
         rows=rows, batch=batch, **kw)
     eng = Engine(cm, config)
-    eng._aot.wrap = lambda nm, fn: fn  # need .lower() on the raw jit fns
+    eng._aot.wrap = lambda nm, fn: fn  # lower the raw jit fns (no AOT)
     arenas, params = init_state(cm, jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(1)
     arenas, params, key = eng.initialize(key, arenas, params)
@@ -82,11 +82,11 @@ def profile_workload(name, setup_fn, batch, rows, repeats, **kw):
 
     out = []
     for pname, run, mkargs, calls in progs:
-        a = mkargs(jax.random.PRNGKey(7))
-        lowered = run.lower(*a)
+        a = mkargs(jax.random.PRNGKey(7)) + (eng._interned_dev,)
+        lowered = run._wrapped.lower(*a)
         comp = lowered.compile()
         flops, bts = _cost(comp)
-        r = run(*a)  # warm (compile outside timing)
+        r = run(*mkargs(jax.random.PRNGKey(7)))  # warm (compile outside timing)
         device_sync(r[0] if isinstance(r, tuple) else r)
         t0 = time.time()
         for i in range(repeats):
