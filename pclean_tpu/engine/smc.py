@@ -769,8 +769,15 @@ class Engine:
         # per-dispatch device time scales with rows x particles: shrink the
         # segment by the particle count (a 512-row x 1024-particle dispatch
         # runs for hours and outlives any tunneled-worker patience)
+        # Per-dispatch device time is rows x particles ONLY on the full
+        # vmapped path; under the exact-Gibbs collapse (propose_row_pg fast
+        # path) a row costs ONE enumeration regardless of P, so shrinking
+        # segments with P would just multiply dispatch round-trips (~780
+        # dispatches / ~400 s for hospital-1k at P=1024, measured).
+        collapsed = self.exact_accept and self.config.collapse_exact_pg
         seg = max(1, min(self.config.scan_segment,
-                         self.config.scan_segment * 8 // max(1, P)))
+                         self.config.scan_segment * 8 // max(1, P))) \
+            if not collapsed else min(self.config.scan_segment, 512)
         seg = min(seg, num_rows)
         ck = ("scan_init_pg", cid, seg, num_rows, P)
         if ck in self._init_step_fns:
@@ -823,8 +830,15 @@ class Engine:
         row_inference.jl:143-145,164) as one scanned program."""
         cap = self.cm.layouts[cid].capacity
         # dispatch time ~ rows x particles (see scan_init_pg)
+        # Per-dispatch device time is rows x particles ONLY on the full
+        # vmapped path; under the exact-Gibbs collapse (propose_row_pg fast
+        # path) a row costs ONE enumeration regardless of P, so shrinking
+        # segments with P would just multiply dispatch round-trips (~780
+        # dispatches / ~400 s for hospital-1k at P=1024, measured).
+        collapsed = self.exact_accept and self.config.collapse_exact_pg
         seg = max(1, min(self.config.scan_segment,
-                         self.config.scan_segment * 8 // max(1, P)))
+                         self.config.scan_segment * 8 // max(1, P))) \
+            if not collapsed else min(self.config.scan_segment, 512)
         seg = min(seg, cap)
         ck = ("scan_sweep_pg", cid, seg, P)
         if ck in self._rejuv_step_fns:
