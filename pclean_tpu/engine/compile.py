@@ -164,6 +164,11 @@ def compile_model(model: Model, datasets: Sequence[ObservedDataset],
         for vid, (codes, state) in spec.columns.items():
             cm.interned.register(codes)
             cm.interned.register(state)
+    # composed AddTypos SA tensors must be registered BEFORE any Engine
+    # snapshots the interned tuple (trace-time registration is too late —
+    # ADVICE r3); lazy import avoids a compile<->propose cycle
+    from .propose import precompute_sa_tables
+    precompute_sa_tables(cm)
     return cm
 
 

@@ -44,6 +44,12 @@ class InternTable:
         self.by_id: dict[int, int] = {}
         self._tls = threading.local()
         self._dev: tuple | None = None
+        # {(shape, dtype): count} of LARGE ndarrays that use() saw while a
+        # program was being traced but that were never registered — each one
+        # silently embeds as a multi-MB literal (id()-based matching misses
+        # equal-content copies; ADVICE r3). scripts/profile_costs.py prints
+        # this so regressions of the ~50MB-program fix stay visible.
+        self.misses: dict[tuple, int] = {}
 
     def register(self, arr):
         """Remember `arr` (if large) for argument-passing; returns arr."""
@@ -79,6 +85,9 @@ class InternTable:
             idx = self.by_id.get(id(arr))
             if idx is not None and idx < len(leaves):
                 return leaves[idx]
+            if isinstance(arr, np.ndarray) and arr.nbytes >= MIN_BYTES:
+                key = (arr.shape, str(arr.dtype))
+                self.misses[key] = self.misses.get(key, 0) + 1
         return jnp.asarray(arr)
 
     @contextmanager

@@ -145,6 +145,14 @@ class BlockTracer:
         self.env: dict[VertexID, tuple[int, Any]] = {
             v: (0, val) for v, val in env0.items()}
         self.env0 = env0
+        # ROW-TAINT tracking for the one-hot-matmul scoring path: vids whose
+        # env value depends on THIS row (its observations, its slot, its
+        # prior draws, earlier blocks' sampled values). Terms built only
+        # from untainted values are identical for every row of a batch, so
+        # under the batch vmap they hoist out as loop-invariants and the
+        # observed-column scoring becomes onehot(obs) @ T — see
+        # _matmul_obs_term (PROFILE.md "Next lever").
+        self.taint: set[VertexID] = set(env0.keys())
         self.axes: list[int] = []
         self.records: dict[tuple, Any] = {}
         self.row_slot = row_slot
@@ -155,6 +163,14 @@ class BlockTracer:
         # {path: (idx [cap, R], cnt [cap])} compacted referrer index lists
         # (Engine._ref_comp; bounds from compile._referrer_bounds)
         self.ref_comp = ref_comp or {}
+
+    def _unif(self):
+        """Next uniform from the per-block pool (sample pass only)."""
+        assert self._pool is not None and self._pool_i < self._pool.shape[0], \
+            "uniform pool exhausted: _draw_bound undercounted"
+        u = self._pool[self._pool_i]
+        self._pool_i += 1
+        return u
 
     # ---------------------------------------------------------------- utils
 
@@ -216,6 +232,79 @@ class BlockTracer:
     def _shape(self, depth: int) -> tuple:
         return tuple(self.axes[:depth])
 
+    def _taint_from_args(self, vid: VertexID, node) -> None:
+        """Mark `vid` row-tainted iff any deterministic input is."""
+        if isinstance(node, ParamLookupNode):
+            args = [node.key_id] + ([node.gate_id]
+                                    if node.gate_id is not None else [])
+        else:
+            args = list(node.arg_ids)
+        if any(a in self.taint for a in args):
+            self.taint.add(vid)
+
+    def _args_untainted(self, vid: VertexID, node: ChoiceNode) -> bool:
+        """True when every dynamic distribution argument of the (canonical)
+        node resolves to a row-invariant env value — parameters are global
+        and never tainted; an arg missing from env is treated as tainted."""
+        canon = self.cm.node(*self.cm.canon(self.cid, vid))
+        remap = self._arg_remap(vid, node) or {}
+        for a in canon.arg_ids.values():
+            a2 = remap.get(a, a)
+            if isinstance(self.node(a2), ParameterNode):
+                continue
+            if a2 in self.taint or a2 not in self.env:
+                return False
+        return True
+
+    # one-hot-matmul scoring: cap on the virtual [V_obs, *axes] score table
+    _MM_MAX_CELLS = 4_000_000
+    # ablation toggle (PCLEAN_MM=0 disables the matmul path)
+    import os as _os
+    _MM_ENABLED = _os.environ.get("PCLEAN_MM", "1") != "0"
+
+    def _matmul_obs_term(self, kern, node: ChoiceNode, vid: VertexID,
+                         depth: int, ov):
+        """Observed-column score as ONE one-hot contraction (PROFILE.md
+        "Next lever", VERDICT r3 item 1).
+
+        For a statically-observed categorical column whose distribution
+        arguments are all row-invariant (untainted), the per-row term
+        t = kern.obs_logdensity(args, ov) factorizes: build the full score
+        table T[o, *axes] = obs_logdensity(args, o) for every possible
+        observed code o — T involves no per-row value, so under the batch
+        vmap it hoists out of the batch and is built ONCE per scan step —
+        then contract t = onehot(ov) @ T. The eager path lowers to a
+        per-(row, candidate) gather chain (concat indices + gather + selects,
+        ~5 ops per column per step, [B, cap]-shaped); this path is one
+        [B, V] x [V, prod(axes)] matmul riding the MXU. Returns None when
+        inapplicable (float domain, constant-over-axes term, table too big),
+        falling back to the eager gather.
+
+        T is clamped to NEG_INF: real -inf entries (e.g. AddTypos beyond
+        max_typos) would produce 0 * -inf = NaN in the contraction.
+        """
+        if not self._MM_ENABLED:
+            return None
+        dom = self.cm.domain(self.cid, vid)
+        if dom is None or dom.kind == FLOAT or kern.V is None:
+            return None
+        Vo = kern.V
+        shape = self._shape(depth)
+        cells = Vo * int(np.prod(shape)) if shape else Vo
+        if not shape or cells > self._MM_MAX_CELLS:
+            return None
+        if not self._args_untainted(vid, node):
+            return None
+        ctx = _Ctx(self, depth, remap=self._arg_remap(vid, node))
+        obs_axis = jnp.arange(Vo).reshape((Vo,) + (1,) * depth)
+        T = kern.obs_logdensity(ctx, obs_axis)
+        if getattr(T, "ndim", 0) != depth + 1 or T.shape[0] != Vo \
+                or all(int(s) == 1 for s in T.shape[1:]):
+            return None  # constant over the enumeration axes: gather is cheaper
+        T = jnp.maximum(T, NINF)
+        onehot = (jnp.arange(Vo) == ov).astype(T.dtype)
+        return jnp.tensordot(onehot, T, axes=1)
+
     def _bcast(self, val, depth: int):
         return jnp.broadcast_to(jnp.asarray(val, dtype=jnp.float32),
                                 self._shape(depth))
@@ -238,6 +327,7 @@ class BlockTracer:
         if isinstance(node, (ComputeNode, ParamLookupNode)):
             self.env[vid] = (depth, self.compute_value(
                 vid, node, lambda a: self.aligned(a, depth)))
+            self._taint_from_args(vid, node)
             return self.score_plan(step.rest, depth, mode, ctx_key)
         if isinstance(node, ForeignKeyNode):
             return self.score_fk(step, vid, node, depth, mode, ctx_key)
@@ -258,6 +348,7 @@ class BlockTracer:
                 if isinstance(sub, (ComputeNode, ParamLookupNode)):
                     self.env[vid] = (depth, self.compute_value(
                         vid, sub, lambda a: self.aligned(a, depth)))
+                    self._taint_from_args(vid, sub)
                     return self.score_plan(step.rest, depth, mode, ctx_key)
                 assert isinstance(sub, ChoiceNode)
                 return self.score_choice(step, vid, sub, depth, mode, ctx_key)
@@ -268,6 +359,8 @@ class BlockTracer:
             slot = self.aligned(node.fk_id, depth)
             val = self.row_value(fknode.target_class, node.sub_id, slot)
             self.env[vid] = (depth, val)
+            if node.fk_id in self.taint:
+                self.taint.add(vid)
             term = jnp.zeros(self._shape(depth), dtype=jnp.float32)
             ov, st = self.obs_of(vid)
             if ov is not None:
@@ -298,10 +391,13 @@ class BlockTracer:
             # Column observed in every dataset row (static fact): the value
             # IS ov — no prior draw, no enumeration axis, no key. Score just
             # the observation term and pin the environment.
-            term = self._bcast(kern.obs_logdensity(ctx, ov), depth)
+            term = self._matmul_obs_term(kern, node, vid, depth, ov)
+            if term is None:
+                term = self._bcast(kern.obs_logdensity(ctx, ov), depth)
             val = jnp.broadcast_to(jnp.asarray(ov), self._shape(depth))
             self.records[("so", vid, ctx_key)] = val
             self.env[vid] = (depth, val)
+            self.taint.add(vid)  # pinned to this row's observation
             return term + self.score_plan(step.rest, depth, mode, ctx_key)
         if not kern.enumerable:
             # Sample the unobserved case from the prior NOW so observed
@@ -331,6 +427,7 @@ class BlockTracer:
             val = jnp.broadcast_to(jnp.asarray(val), self._shape(depth))
             self.records[("ne", vid, ctx_key)] = val
             self.env[vid] = (depth, val)
+            self.taint.add(vid)  # prior draw / observed merge: row-specific
             return term + self.score_plan(step.rest, depth, mode, ctx_key)
         V = kern.V
         enum = jnp.broadcast_to(jnp.asarray(kern.enum_logits(ctx),
@@ -635,7 +732,14 @@ class BlockTracer:
         """Top-down pass: draw (or force) concrete values for every vertex in
         the block; returns env updates, extra weight from deferred nodes, and
         birth records for fresh rows."""
-        self._keys = _KeyStream(key)
+        k_pool, k_rest = jax.random.split(key)
+        n = _draw_bound(self.cm, self.cid, self._root_plan)
+        # one [n] threefry call replaces ~n per-node fold_in+threefry chains
+        # (_draw_bound rationale); kernels needing real keys (sample_prior)
+        # still use the _KeyStream
+        self._pool = jax.random.uniform(k_pool, (n,)) if n else None
+        self._pool_i = 0
+        self._keys = _KeyStream(k_rest)
         env2 = dict(self.env0)
         births: list[Birth] = []
         extra_w = jnp.zeros((), jnp.float32)
@@ -744,7 +848,7 @@ class BlockTracer:
                 valid = logits[rv] > NINF / 2
                 chosen = jnp.where(valid, rv, jnp.asarray(dummy, jnp.int32))
         else:
-            chosen = _inv_cdf_categorical(self._keys(), logits)
+            chosen = _inv_cdf_from_u(self._unif(), logits)
         st.env2[vid] = chosen.astype(jnp.int32)
         for ch in step.rest.steps:
             self.sample_step(ch, st, anc + (chosen,), mode, ctx_key)
@@ -763,7 +867,7 @@ class BlockTracer:
             chosen = jnp.where(alive_rv, rv, jnp.asarray(K, jnp.int32))
             retained_dead = ~alive_rv
         else:
-            chosen = _inv_cdf_categorical(self._keys(), logits)
+            chosen = _inv_cdf_from_u(self._unif(), logits)
         is_new = chosen == K
         # full-arena guard: with no free slot, fall back to the best-scoring
         # existing candidate instead of overwriting a live row
@@ -844,20 +948,52 @@ class BlockTracer:
 
 
 
-def _inv_cdf_categorical(key, logits):
-    """Sample from softmax(logits) along the last axis via inverse-CDF:
-    ONE scalar uniform + a cumsum, instead of jax.random.categorical's
-    Gumbel trick. Gumbel draws threefry randomness of the FULL logits
-    shape — ~30 u32 elementwise ops over the [K+1] fk-candidate axis per
-    row — which was the single largest tensor volume in the batched sweep
-    programs (u32[B,513] blocks, profile_costs.py). Exactness:
-    P(i) = softmax(logits)_i; zero-mass (-inf) entries occupy zero-width
-    intervals and are hit with probability 0."""
+def _draw_bound(cm: CompiledModel, cid: ClassID, plan: Plan) -> int:
+    """Static upper bound on the number of inverse-CDF draws the sample
+    pass can consume for one block: every Choice/ForeignKey step may draw
+    once, and a foreign key's subtree is traced through BOTH the existing
+    (copy) and fresh branches, each consuming its own draws. Used to size
+    the per-block uniform pool (one [n] threefry call) that replaces ~40
+    u32 ops of fold_in+threefry PER NODE — the PRNG chains were the single
+    largest static-op group in the compiled sweep programs (~4,700 of
+    ~15,000 instructions on hospital's Record program, scripts/
+    hlo_breakdown.py), pure kernel-launch overhead on an op-count-bound
+    TPU program."""
+    def walk_plan(p: Plan, mult: int) -> int:
+        return sum(walk(s, mult) for s in p.steps)
+
+    def walk(step: Step, mult: int) -> int:
+        node = cm.node(cid, step.idx)
+        if isinstance(node, (ParameterNode, ExternalLikelihoodNode)):
+            return 0
+        raw = strip_subnodes(node) if isinstance(node, SubmodelNode) else node
+        n = 0 if isinstance(raw, (ComputeNode, ParamLookupNode)) else mult
+        sub_mult = mult * 2 if isinstance(raw, ForeignKeyNode) else mult
+        return n + walk_plan(step.rest, sub_mult)
+
+    return walk_plan(plan, 1)
+
+
+def _inv_cdf_from_u(u, logits):
+    """Sample from softmax(logits) along the last axis via inverse-CDF from
+    a pre-drawn uniform u in [0, 1): a cumsum + one comparison, instead of
+    jax.random.categorical's Gumbel trick (which draws threefry randomness
+    of the FULL logits shape — ~30 u32 elementwise ops over the [K+1]
+    fk-candidate axis per row, the largest tensor volume in the batched
+    sweep programs; profile_costs.py). Exactness: P(i) = softmax(logits)_i;
+    zero-mass (-inf) entries occupy zero-width intervals. The threshold is
+    drawn from (0, total] — NOT [0, total) — because at threshold 0 every
+    prefix test c < t is false and index 0 would be selected even when
+    logits[0] == -inf (e.g. a dead fk-candidate slot); uniform() returns
+    exactly 0.0 with probability ~2^-24, which over the ~10M draws of a
+    100k-row multi-sweep run would resurrect a dead row occasionally
+    (ADVICE r3). The (0, total] form also keeps trailing zero-mass entries
+    unselectable (their cumsum equals total, never < t)."""
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     c = jnp.cumsum(p, axis=-1)
-    u = jax.random.uniform(key, c.shape[:-1] + (1,)) * c[..., -1:]
-    return jnp.sum(c < u, axis=-1).astype(jnp.int32)
+    ub = (1.0 - u) * c[..., -1]
+    return jnp.sum(c < ub[..., None], axis=-1).astype(jnp.int32)
 
 
 class _SampleState:
@@ -884,6 +1020,56 @@ class _KeyStream:
         sub = jax.random.fold_in(self.key, self.i)
         self.i += 1
         return sub
+
+
+def precompute_sa_tables(cm: CompiledModel) -> None:
+    """Build + intern-register the composed-table AddTypos score tensors at
+    COMPILE time (ADVICE r3): _ext_hist_term's lazy trace-time construction
+    registered SA *after* Engine._interned_dev was snapshotted, so the
+    largest arrays the interning targets (e.g. hospital's SA[state, code, V]
+    from M x stateavg-table) still embedded as StableHLO literals. Walking
+    the plan forests here mirrors _ext_hist_term's composed case exactly
+    (same cache key, same axis order) with the conservative arg split
+    'mapped into the referring class => enumeration-env argument' — if a
+    trace ever disagrees, it just rebuilds lazily (old behavior, correct)."""
+    from .kernels import _AddTyposK
+
+    sa_cache = cm.__dict__.setdefault("_ext_sa_cache", {})
+    for cid in cm.model.class_order:
+        c = cm.cls(cid)
+
+        def collect(step, cid=cid, c=c):
+            node = cm.node(cid, step.idx)
+            if isinstance(node, ExternalLikelihoodNode) and \
+                    isinstance(node.ext_node, ChoiceNode):
+                src = node.path[-1][0]
+                kern = cm.kernels[cm.canon(src, node.ext_id)]
+                word_sv = node.ext_node.arg_ids.get("word")
+                inv = {sv for sv in c.incoming_references[node.path].values()}
+                if isinstance(kern, _AddTyposK) and word_sv is not None \
+                        and word_sv not in inv:
+                    snode = cm.node(src, word_sv)
+                    if isinstance(snode, ComputeNode) and snode.kind == "table":
+                        env_args = [a for a in snode.arg_ids if a in inv]
+                        ref_args = [a for a in snode.arg_ids if a not in inv]
+                        tbl = cm.tables.get(cm.canon(src, word_sv))
+                        if env_args and len(ref_args) <= 1 and tbl is not None \
+                                and tbl.size * kern.V <= BlockTracer._SA_MAX_CELLS:
+                            order = [snode.arg_ids.index(a)
+                                     for a in env_args + ref_args]
+                            ck = ("sa", cm.canon(src, word_sv),
+                                  cm.canon(src, node.ext_id), tuple(order))
+                            if ck not in sa_cache:
+                                SA = np.ascontiguousarray(
+                                    np.asarray(kern.M).T[np.transpose(tbl, order)])
+                                sa_cache[ck] = SA
+                                cm.interned.register(SA)
+            for child in step.rest.steps:
+                collect(child)
+
+        for plan in c.plans:
+            for step in plan.steps:
+                collect(step)
 
 
 def referrer_histograms(cm: CompiledModel, cid: ClassID, arenas: dict,

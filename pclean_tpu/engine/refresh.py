@@ -279,6 +279,142 @@ def row_delta(cm: CompiledModel, rel: dict, arenas: dict, obs_arrays: dict,
     return rel
 
 
+def _cascade(cm: CompiledModel, rel: dict, arenas: dict, pend: dict) -> None:
+    """Apply pending refcount deltas per latent class and cascade the
+    aliveness flips down the fk graph (in place on the copied rel).
+
+    `pend` maps latent class -> [cap] int32 refcount delta. Classes are
+    processed in reverse declaration order: a class's fk targets are always
+    earlier-declared, so every delta a class receives (direct or via a
+    referrer's aliveness flip) is accumulated before that class is visited
+    — the batched twin of _fk_delta's recursion."""
+    for tc in reversed(cm.model.class_order):
+        d = pend.get(tc)
+        if d is None or cm.layouts[tc].observed:
+            continue  # refresh keeps observed-class refcounts at zero
+        r = rel[tc]
+        rc = r["refcount"] + d
+        alive = rc > 0
+        flip = alive.astype(jnp.int32) - r["alive"].astype(jnp.int32)
+        rel[tc] = {**r,
+                   "refcount": rc,
+                   "alive": alive,
+                   "total": r["total"] + jnp.sum(d),
+                   "nrows": r["nrows"] + jnp.sum(flip)}
+        for fkv2 in cm.layouts[tc].fk_vertices:
+            tc2 = cm.node(tc, fkv2).target_class
+            t2 = arenas[tc]["values"][fkv2]
+            d2 = jnp.zeros((cm.layouts[tc2].capacity,), jnp.int32) \
+                .at[t2].add(flip, mode="drop")
+            pend[tc2] = pend.get(
+                tc2, jnp.zeros((cm.layouts[tc2].capacity,), jnp.int32)) + d2
+
+
+def batch_obs_delta(cm: CompiledModel, rel: dict, old_arenas: dict,
+                    arenas: dict, obs_arrays: dict, cid: ClassID,
+                    slots) -> dict:
+    """rel updated for the rewrite of observed-class rows `slots` from
+    `old_arenas` to `arenas` (no other arena entries may differ) — the
+    BATCHED twin of row_delta(-1 on old)+row_delta(+1 on new), O(B + caps)
+    per scan step instead of the O(N) full refresh the batched drivers paid
+    per step (dominant at 100k+ rows; VERDICT r4 profile).
+
+    Works uniformly for sweeps (rows rewritten in place) and init (rows
+    newly marked alive): per-row contribution weights are the old/new
+    aliveness, so an unchanged row cancels exactly and a fresh row purely
+    adds. Exact for refcounts/aliveness/counts (integer adds); propagated
+    codes rely on the same observed-equality agreement invariant as
+    row_delta (cnt == 0 <=> code == 0; co-observers of a live target agree),
+    with any batched-transient drift bounded by the segment-entry refresh.
+    Equivalence with refresh: tests/test_incremental.py.
+    """
+    assert cm.layouts[cid].observed
+    rel = {c: {**v, "prop": dict(v["prop"])} for c, v in rel.items()}
+    slots = jnp.asarray(slots)
+    w_old = old_arenas[cid]["alive"][slots]
+    w_new = arenas[cid]["alive"][slots]
+    pend: dict = {}
+    for fkv in cm.layouts[cid].fk_vertices:
+        tc = cm.node(cid, fkv).target_class
+        cap_tc = cm.layouts[tc].capacity
+        t_old = old_arenas[cid]["values"][fkv][slots]
+        t_new = arenas[cid]["values"][fkv][slots]
+        d = jnp.zeros((cap_tc,), jnp.int32) \
+            .at[t_new].add(w_new.astype(jnp.int32), mode="drop") \
+            .at[t_old].add(-w_old.astype(jnp.int32), mode="drop")
+        pend[tc] = pend.get(tc, jnp.zeros((cap_tc,), jnp.int32)) + d
+    _cascade(cm, rel, arenas, pend)
+
+    for (src, ov, chain, (tc, tv)) in propagated_obs_specs(cm):
+        if src != cid:
+            continue
+        codes, state = obs_arrays[cid][ov]
+        st = cm.interned.use(state)[slots] == 1
+        sm_old = (w_old & st).astype(jnp.int32)
+        sm_new = (w_new & st).astype(jnp.int32)
+        t_old, t_new = slots, slots
+        for (hop_cid, fkv) in chain:
+            src_o = old_arenas if hop_cid == cid else arenas
+            t_old = src_o[hop_cid]["values"][fkv][t_old]
+            t_new = arenas[hop_cid]["values"][fkv][t_new]
+        code, cnt = rel[tc]["prop"][tv]
+        cval = cm.interned.use(codes)[slots].astype(code.dtype)
+        cnt1 = cnt.at[t_old].add(-sm_old, mode="drop")
+        # agreement invariant: cnt == 0 <=> code == 0, so the global reset
+        # only touches targets this batch emptied (refresh/row_delta keep
+        # the invariant everywhere else)
+        code1 = jnp.where(cnt1 > 0, code, code.dtype.type(0))
+        cnt2 = cnt1.at[t_new].add(sm_new, mode="drop")
+        code2 = code1.at[t_new].max(
+            jnp.where(sm_new > 0, cval, code.dtype.type(0)), mode="drop")
+        rel[tc]["prop"][tv] = (code2, cnt2)
+    return rel
+
+
+def batch_latent_delta(cm: CompiledModel, rel: dict, old_arenas: dict,
+                       arenas: dict, cid: ClassID, slots, hop_hists) -> dict:
+    """Batched twin of latent_row_delta + hop_move for a batch of latent-
+    class rows whose fk columns were (possibly) rewritten: reference-count
+    deltas with cascaded aliveness flips, plus the referrer groups'
+    propagated observations moved from old to new chain targets via the
+    per-segment hop_histograms. Same agreement-invariant caveat as
+    batch_obs_delta."""
+    assert not cm.layouts[cid].observed
+    rel = {c: {**v, "prop": dict(v["prop"])} for c, v in rel.items()}
+    slots = jnp.asarray(slots)
+    # a latent row's own rewrite never changes its own aliveness (driven by
+    # referrers), so old/new weight are both its current liveness
+    w = rel[cid]["alive"][slots].astype(jnp.int32)
+    pend: dict = {}
+    for fkv in cm.layouts[cid].fk_vertices:
+        tc = cm.node(cid, fkv).target_class
+        cap_tc = cm.layouts[tc].capacity
+        t_old = old_arenas[cid]["values"][fkv][slots]
+        t_new = arenas[cid]["values"][fkv][slots]
+        d = jnp.zeros((cap_tc,), jnp.int32) \
+            .at[t_new].add(w, mode="drop") \
+            .at[t_old].add(-w, mode="drop")
+        pend[tc] = pend.get(tc, jnp.zeros((cap_tc,), jnp.int32)) + d
+    _cascade(cm, rel, arenas, pend)
+
+    for (fkv, suffix, (tc, tv)), (gcnt, gcode) in hop_hists:
+        g = gcnt[slots]
+        gc = gcode[slots]
+        of = old_arenas[cid]["values"][fkv][slots]
+        nf = arenas[cid]["values"][fkv][slots]
+        for (hc, fv) in suffix:
+            of = arenas[hc]["values"][fv][of]
+            nf = arenas[hc]["values"][fv][nf]
+        code, cnt = rel[tc]["prop"][tv]
+        cnt1 = cnt.at[of].add(-g, mode="drop")
+        code1 = jnp.where(cnt1 > 0, code, code.dtype.type(0))
+        cnt2 = cnt1.at[nf].add(g, mode="drop")
+        code2 = code1.at[nf].max(
+            jnp.where(g > 0, gc, code.dtype.type(0)), mode="drop")
+        rel[tc]["prop"][tv] = (code2, cnt2)
+    return rel
+
+
 def refresh(cm: CompiledModel, arenas: dict, obs_arrays: dict,
             exclude_cid: Optional[ClassID] = None,
             exclude_slot=None) -> dict:

@@ -906,19 +906,31 @@ class Engine:
         cm = self.cm
         R = max(1, self.config.rejuv_frequency // B)
         from .gibbs_params import resample_all
+        from .refresh import batch_obs_delta
+
+        incr = self.config.incremental_refresh
 
         def run(arenas, params, base, keys):  # keys: [seg_b*B, 2]
+            relc = refresh(cm, arenas, self.obs_dev)
+
             def body(carry, x):
-                arenas, params = carry
+                arenas, params, rel = carry
                 i, bkeys = x  # bkeys: [B, 2]
                 bi = base + i
                 slots = bi * B + jnp.arange(B)
-                rel = refresh(cm, arenas, self.obs_dev)
+                if not incr:
+                    rel = refresh(cm, arenas, self.obs_dev)
                 env2, ok, birthy = jax.vmap(
                     lambda s, k: init_row_step(self, cid, arenas, rel, params,
                                                s, k, s < num_rows))(slots, bkeys)
+                old = arenas
                 arenas = _apply_batch(cm, cid, arenas, slots, env2, ok,
                                       mark_alive=True)
+                if incr:
+                    # fresh rows purely ADD contributions (old alive False):
+                    # the batched point delta covers incorporation exactly
+                    rel = batch_obs_delta(cm, rel, old, arenas, self.obs_dev,
+                                          cid, slots)
                 kq = jax.random.fold_in(bkeys[0], 7)
                 do = ((bi + 1) % R) == 0
                 arenas, params = jax.lax.cond(
@@ -926,10 +938,10 @@ class Engine:
                     lambda c: resample_all(cm, c[0], c[1], self.obs_dev, kq),
                     lambda c: c,
                     (arenas, params))
-                return (arenas, params), birthy
+                return (arenas, params, rel), birthy
 
-            (arenas, params), flags = jax.lax.scan(
-                body, (arenas, params),
+            (arenas, params, _), flags = jax.lax.scan(
+                body, (arenas, params, relc),
                 (jnp.arange(seg_b), keys.reshape(seg_b, B, 2)))
             return arenas, params, flags.reshape(-1)
 
@@ -1091,27 +1103,39 @@ class Engine:
         cm = self.cm
         R = max(1, self.config.rejuv_frequency // B)
         from .gibbs_params import resample_all
+        from .refresh import (batch_latent_delta, batch_obs_delta,
+                              hop_histograms)
 
         def class_pass(cid, arenas, params, keys, n_batches):
             cap = cm.layouts[cid].capacity
             leaf = self._leaf_latent(cid)
+            observed = cm.layouts[cid].observed
+            incr = self.config.incremental_refresh and not leaf
             relc = refresh(cm, arenas, self.obs_dev)
-            rel0 = relc if leaf else None
             hists = self._ext_hists(cid, arenas, params, rel=relc)
             comp = self._ref_comp(cid, arenas, relc)
+            hops = hop_histograms(cm, cid, arenas, self.obs_dev) \
+                if (incr and not observed) else []
 
             def body(carry, x):
-                arenas, params = carry
+                arenas, params, rel = carry
                 bi, bkeys = x  # bkeys: [B, 2]
                 slots = bi * B + jnp.arange(B)
-                rel = rel0 if leaf else refresh(cm, arenas, self.obs_dev)
+                if not (leaf or incr):
+                    rel = refresh(cm, arenas, self.obs_dev)
                 env2, accept, birthy = jax.vmap(
                     lambda s, k: mh_row_step(self, cid, arenas, rel, params,
                                              s, k, s < cap,
                                              ext_hists=hists,
                                              ref_comp=comp))(slots, bkeys)
+                old = arenas
                 arenas = _apply_batch(cm, cid, arenas, slots, env2, accept,
                                       mark_alive=False)
+                if incr:
+                    rel = batch_obs_delta(cm, rel, old, arenas, self.obs_dev,
+                                          cid, slots) if observed else \
+                        batch_latent_delta(cm, rel, old, arenas, cid, slots,
+                                           hops)
                 kq = jax.random.fold_in(bkeys[0], 7)
                 do = ((bi + 1) % R) == 0
                 arenas, params = jax.lax.cond(
@@ -1119,10 +1143,10 @@ class Engine:
                     lambda c: resample_all(cm, c[0], c[1], self.obs_dev, kq),
                     lambda c: c,
                     (arenas, params))
-                return (arenas, params), birthy
+                return (arenas, params, rel), birthy
 
-            (arenas, params), birthys = jax.lax.scan(
-                body, (arenas, params),
+            (arenas, params, _), birthys = jax.lax.scan(
+                body, (arenas, params, relc),
                 (jnp.arange(n_batches), keys.reshape(n_batches, B, 2)))
             return arenas, params, birthys.reshape(-1)
 
@@ -1163,28 +1187,46 @@ class Engine:
         cm = self.cm
         R = max(1, self.config.rejuv_frequency // B)
         from .gibbs_params import resample_all
+        from .refresh import (batch_latent_delta, batch_obs_delta,
+                              hop_histograms)
 
         leaf = self._leaf_latent(cid)
+        observed = cm.layouts[cid].observed
+        # Carry the relational state through the scan, updated per step by
+        # O(B + caps) BATCHED point deltas (the batched twin of the B=1
+        # incremental path, refresh.batch_obs_delta/batch_latent_delta)
+        # instead of the O(N) full refresh per step that dominated batched
+        # sweeps at 100k+ rows. Leaf latents keep the hoisted segment-entry
+        # snapshot (loop-invariant, as before).
+        incr = self.config.incremental_refresh and not leaf
 
         def run(arenas, params, base, keys):  # keys: [seg_b*B, 2]
             relc = refresh(cm, arenas, self.obs_dev)
-            rel0 = relc if leaf else None
             hists = self._ext_hists(cid, arenas, params, rel=relc)
             comp = self._ref_comp(cid, arenas, relc)
+            hops = hop_histograms(cm, cid, arenas, self.obs_dev) \
+                if (incr and not observed) else []
 
             def body(carry, x):
-                arenas, params = carry
+                arenas, params, rel = carry
                 i, bkeys = x  # bkeys: [B, 2]
                 bi = base + i
                 slots = bi * B + jnp.arange(B)
-                rel = rel0 if leaf else refresh(cm, arenas, self.obs_dev)
+                if not (leaf or incr):
+                    rel = refresh(cm, arenas, self.obs_dev)
                 env2, accept, birthy = jax.vmap(
                     lambda s, k: mh_row_step(self, cid, arenas, rel, params,
                                              s, k, s < cap,
                                              ext_hists=hists,
                                              ref_comp=comp))(slots, bkeys)
+                old = arenas
                 arenas = _apply_batch(cm, cid, arenas, slots, env2, accept,
                                       mark_alive=False)
+                if incr:
+                    rel = batch_obs_delta(cm, rel, old, arenas, self.obs_dev,
+                                          cid, slots) if observed else \
+                        batch_latent_delta(cm, rel, old, arenas, cid, slots,
+                                           hops)
                 kq = jax.random.fold_in(bkeys[0], 7)
                 do = ((bi + 1) % R) == 0
                 arenas, params = jax.lax.cond(
@@ -1192,10 +1234,10 @@ class Engine:
                     lambda c: resample_all(cm, c[0], c[1], self.obs_dev, kq),
                     lambda c: c,
                     (arenas, params))
-                return (arenas, params), birthy
+                return (arenas, params, rel), birthy
 
-            (arenas, params), flags = jax.lax.scan(
-                body, (arenas, params),
+            (arenas, params, _), flags = jax.lax.scan(
+                body, (arenas, params, relc),
                 (jnp.arange(seg_b), keys.reshape(seg_b, B, 2)))
             return arenas, params, flags.reshape(-1)
 

@@ -190,20 +190,35 @@ class ShardedEngine:
         from ..engine.gibbs_params import resample_all
         from ..engine.smc import init_row_step
 
+        from ..engine.refresh import batch_obs_delta
+
+        incr = eng.config.incremental_refresh
+
         def local(arenas, params, base, keys):  # all replicated in-shard
             me = jax.lax.axis_index("data")
+            relc = refresh(cm, arenas, eng.obs_dev)
 
             def body(carry, i):
-                arenas, params = carry
+                arenas, params, rel = carry
                 bi = base + i
                 ls = bi * B + me * Bl + jnp.arange(Bl)
                 bkeys = keys[i * B + me * Bl + jnp.arange(Bl)]
-                rel = refresh(cm, arenas, eng.obs_dev)
+                if not incr:
+                    rel = refresh(cm, arenas, eng.obs_dev)
                 env2, ok, birthy = jax.vmap(
                     lambda s, k: init_row_step(eng, cid, arenas, rel, params,
                                                s, k, s < num_rows))(ls, bkeys)
+                old = arenas
                 arenas = _scatter_apply(cm, cid, arenas, ls, env2, ok,
                                         mark_alive=True, axis="data")
+                if incr:
+                    # delta over the FULL batch from the reconciled
+                    # (replicated) arenas: identical on every shard, so the
+                    # carried rel stays replicated and bitwise equal to the
+                    # single-device program's (integer histograms)
+                    slots_full = bi * B + jnp.arange(B)
+                    rel = batch_obs_delta(cm, rel, old, arenas, eng.obs_dev,
+                                          cid, slots_full)
                 kq = jax.random.fold_in(keys[i * B], 7)
                 do = ((bi + 1) % R) == 0
                 arenas, params = jax.lax.cond(
@@ -211,10 +226,10 @@ class ShardedEngine:
                     lambda c: resample_all(cm, c[0], c[1], eng.obs_dev, kq),
                     lambda c: c,
                     (arenas, params))
-                return (arenas, params), birthy
+                return (arenas, params, rel), birthy
 
-            (arenas, params), flags = jax.lax.scan(
-                body, (arenas, params), jnp.arange(seg_b))
+            (arenas, params, _), flags = jax.lax.scan(
+                body, (arenas, params, relc), jnp.arange(seg_b))
             return arenas, params, flags  # [seg_b, Bl] per shard
 
         smapped = jax.jit(jax.shard_map(
@@ -259,20 +274,41 @@ class ShardedEngine:
                 for cid in cm.model.class_order}
         total = sum(caps.values())
 
+        from ..engine.refresh import (batch_latent_delta, batch_obs_delta,
+                                      hop_histograms)
+
         def class_pass(cid, arenas, params, keys_c, me):
             nb = caps[cid] // B
             cap = cm.layouts[cid].capacity
+            leaf = eng._leaf_latent(cid)
+            observed = cm.layouts[cid].observed
+            incr = eng.config.incremental_refresh and not leaf
+            relc = refresh(cm, arenas, eng.obs_dev)
+            hops = hop_histograms(cm, cid, arenas, eng.obs_dev) \
+                if (incr and not observed) else []
 
             def body(carry, bi):
-                arenas, params = carry
+                arenas, params, rel = carry
                 ls = bi * B + me * Bl + jnp.arange(Bl)
                 bkeys = keys_c[ls]
-                rel = refresh(cm, arenas, eng.obs_dev)
+                if not (leaf or incr):
+                    rel = refresh(cm, arenas, eng.obs_dev)
                 env2, accept, birthy = jax.vmap(
                     lambda s, k: mh_row_step(eng, cid, arenas, rel, params,
                                              s, k, s < cap))(ls, bkeys)
+                old = arenas
                 arenas = _scatter_apply(cm, cid, arenas, ls, env2, accept,
                                         mark_alive=False, axis="data")
+                if incr:
+                    # full-batch delta from the reconciled replicated arenas:
+                    # identical on every shard (integer histograms), so rel
+                    # stays replicated and bitwise equal to the
+                    # single-device class_pass
+                    slots_full = bi * B + jnp.arange(B)
+                    rel = batch_obs_delta(cm, rel, old, arenas, eng.obs_dev,
+                                          cid, slots_full) if observed else \
+                        batch_latent_delta(cm, rel, old, arenas, cid,
+                                           slots_full, hops)
                 kq = jax.random.fold_in(keys_c[bi * B], 7)
                 do = ((bi + 1) % R) == 0
                 arenas, params = jax.lax.cond(
@@ -280,10 +316,10 @@ class ShardedEngine:
                     lambda c: resample_all(cm, c[0], c[1], eng.obs_dev, kq),
                     lambda c: c,
                     (arenas, params))
-                return (arenas, params), birthy
+                return (arenas, params, rel), birthy
 
-            (arenas, params), flags = jax.lax.scan(
-                body, (arenas, params), jnp.arange(nb))
+            (arenas, params, _), flags = jax.lax.scan(
+                body, (arenas, params, relc), jnp.arange(nb))
             return arenas, params, flags  # [nb, Bl]
 
         def local(arenas, params, keys):
