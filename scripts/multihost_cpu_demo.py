@@ -34,11 +34,13 @@ import numpy as np  # noqa: E402
 def main():
     from pclean_tpu.parallel import initialize_multihost, make_multihost_mesh
 
+    n_proc = int(os.environ["PCLEAN_NUM_PROCESSES"])
     active = initialize_multihost()
     pid = jax.process_index()
-    assert active, "expected a 2-process world (set PCLEAN_* env vars)"
-    assert jax.process_count() == 2
-    assert jax.device_count() == 8 and len(jax.local_devices()) == 4
+    assert active, f"expected a {n_proc}-process world (set PCLEAN_* env vars)"
+    assert jax.process_count() == n_proc
+    assert jax.device_count() == 8 and \
+        len(jax.local_devices()) == 8 // n_proc
 
     from pclean_tpu.engine.compile import init_state
     from pclean_tpu.engine.smc import Engine, InferenceConfig

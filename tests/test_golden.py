@@ -43,14 +43,18 @@ def test_hospital_golden_f1():
 
 @pytest.mark.slow
 def test_flights_golden_f1():
+    # floor raised 0.50 -> 0.55 (VERDICT r3 item 6) per the seeds-0/1
+    # calibration above (0.567/0.571)
     r = _run("flights.py", "--rows", "300", "--sweeps", "2")
-    assert r["f1"] >= 0.50, r
+    assert r["f1"] >= 0.55, r
 
 
 @pytest.mark.slow
 def test_rents_golden_f1():
+    # floor raised 0.45 -> 0.48 (VERDICT r3 item 6) per the seeds-0/1
+    # calibration above (0.528/0.507)
     r = _run("rents.py", "--rows", "2000")
-    assert r["f1"] >= 0.45, r
+    assert r["f1"] >= 0.48, r
 
 
 # ---------------------------------------------------------------------------
@@ -77,9 +81,10 @@ _FULL = pytest.mark.skipif(os.environ.get("PCLEAN_GOLDEN_FULL") != "1",
                                   "PCLEAN_GOLDEN_FULL=1 (minutes per test)")
 
 
-@_FULL
 @pytest.mark.slow
 def test_hospital_golden_f1_full():
+    # ungated (VERDICT r3 item 6): ~132 s CPU is affordable in the suite,
+    # and it makes CI assert full-data accuracy on 2 of 3 workloads
     r = _run("hospital.py")
     assert r["f1"] >= 0.86, r
 

@@ -14,20 +14,34 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.mark.slow
-def test_two_process_multihost_demo():
+def _run_demo(nproc: int, port: str):
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS",
                         "_PCLEAN_TEST_REEXEC")}
-    env["PORT"] = "7641"
+    env["PORT"] = port
+    env["NPROC"] = str(nproc)
     out = subprocess.run(
         ["bash", os.path.join(REPO, "scripts", "multihost_cpu_demo.sh")],
         capture_output=True, text=True, timeout=900, cwd=REPO, env=env)
     assert out.returncode == 0, out.stderr[-3000:]
-    # regex over the raw stream: the two processes' unbuffered prints can
+    # regex over the raw stream: the processes' unbuffered prints can
     # interleave on one line, so splitting on newlines is flaky
     import re
     fps = re.findall(r"fingerprint\s*([0-9.eE+-]+)", out.stdout)
-    assert len(fps) == 2, out.stdout
+    assert len(fps) == nproc, out.stdout
     assert len(set(fps)) == 1, f"processes diverged: {fps}"
-    assert out.stdout.count("MULTIHOST OK") == 2
+    assert out.stdout.count("MULTIHOST OK") == nproc
+
+
+@pytest.mark.slow
+def test_two_process_multihost_demo():
+    _run_demo(2, "7641")
+
+
+@pytest.mark.slow
+def test_four_process_multihost_demo():
+    """4 processes x 2 virtual devices (VERDICT r3 item 8): exercises the
+    DCN-major mesh layout + host_local_data feeding with per-process
+    device blocks smaller than the single-process dryrun's, end-to-end
+    through the sharded init+sweep drivers."""
+    _run_demo(4, "7647")
