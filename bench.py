@@ -100,7 +100,8 @@ def emit(reason):
         "exit_reason": reason,
         "workloads": wl,
     }
-    for name in ("hospital", "flights", "rents", "hospital_100k"):
+    for name in ("hospital", "flights", "rents", "hospital_100k",
+                 "scaled_1m"):
         if name in wl and "f1" in wl[name]:
             line[f"{name}_f1"] = wl[name]["f1"]
         if name in wl and "rows_per_sec" in wl[name]:
@@ -180,6 +181,7 @@ def main():
     import flights
     import hospital
     import rents
+    import scaled
 
     def attempt(name, setup_fn, obs_class, min_budget, warm, **kw):
         """Run one workload; record its result (or error) incrementally.
@@ -216,17 +218,25 @@ def main():
     # even if the long rents tail would blow the budget.
     attempt("hospital", hospital.setup, "Record", min_budget=120, warm=True)
     # BASELINE.md scaled config: hospital tiled to 100k synthetic rows,
-    # batch-64 blocked Gibbs with per-row self-exclusion (F1 0.902 — the
-    # one-count PY bias is gone, STATUS.md round 3). warm=True pays one
-    # throwaway pass so the timed run measures inference, not program
-    # loading; attempt() drops the warm pass automatically when the
-    # remaining budget is tight (then init_sec absorbs program loads).
-    # The 1,024-particle PG config runs the same speed as MH when the
-    # exactness audit passes (collapse_exact_pg): see bench_results/.
+    # batch-1024 blocked Gibbs with per-row self-exclusion (F1 0.9030 at
+    # B=256 AND B=1024, measured end-to-end 2026-08-19, matching B=64's
+    # 0.902 — co-reference blindness is bounded at ~2% even at maximal
+    # batch, tests/test_coref_blindness.py). warm=True pays one throwaway
+    # pass so the timed run measures inference, not program loading;
+    # attempt() drops the warm pass automatically when the remaining budget
+    # is tight (then init_sec absorbs program loads). The 1,024-particle PG
+    # config runs the same speed as MH when the exactness audit passes
+    # (collapse_exact_pg): see bench_results/.
     attempt("hospital_100k", hospital.setup, "Record", min_budget=200,
-            warm=True, repeat=100, batch=64)
+            warm=True, repeat=100, batch=1024)
     attempt("flights", flights.setup, "Obs", min_budget=90, warm=True)
     attempt("rents", rents.setup, "Obs", min_budget=150, warm=True)
+    # BASELINE.md 1M-row scaled config, budget-permitting fifth workload
+    # (VERDICT r3 item 2): single chip; the N>=2-host version of the same
+    # model is exercised by dryrun_multichip + the multihost tests. Runs
+    # unwarmed — program loads amortize into its init_sec.
+    attempt("scaled_1m", scaled.setup, "Record", min_budget=600, warm=False,
+            rows=1_000_000, batch=256)
 
     try:
         import jax

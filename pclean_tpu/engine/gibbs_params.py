@@ -198,10 +198,16 @@ def resample_py(cm: CompiledModel, cid: ClassID, rel: dict, py_state: dict,
 
 
 def resample_all(cm: CompiledModel, arenas: dict, params: dict, obs_dev: dict,
-                 key):
+                 key, rel=None):
     """Resample every learned parameter and the per-class Pitman-Yor
-    hyperparameters (inference.jl:40-47)."""
-    rel = refresh(cm, arenas, obs_dev)
+    hyperparameters (inference.jl:40-47).
+
+    rel: pass the caller's carried relational state to skip the O(N) full
+    refresh — at batch_rows >= rejuv_frequency the resample cond fires
+    EVERY scan step, so this refresh was the last O(N)-per-step cost left
+    in the batched drivers after the incremental deltas landed."""
+    if rel is None:
+        rel = refresh(cm, arenas, obs_dev)
     new_params = {c: dict(v) for c, v in params.items()}
     for (cid, vid) in cm.param_meta:
         key, sub = jax.random.split(key)

@@ -82,13 +82,17 @@ class InferenceConfig:
     fused_dispatch_rows: int = 8192
     # rows per dispatch for the SEGMENTED BATCHED drivers (init + sweep).
     # Each segment dispatch costs a full transport round-trip on tunneled
-    # backends (~0.1-0.2 s), which dominated hospital-100k at the previous
-    # scan_segment-derived 512 rows/dispatch (196 dispatches per pass);
-    # 4096 rows/dispatch keeps single-dispatch device time at a few
-    # seconds (far below worker-kill territory) while cutting dispatch
-    # count 8x. Replay cadence coarsens with the segment (births are
-    # replayed after each segment dispatch) - semantics stay exact.
-    batch_segment_rows: int = 4096
+    # backends (~0.1-0.2 s), which dominated hospital-100k at the round-2
+    # scan_segment-derived 512 rows/dispatch (196 dispatches per pass).
+    # After the round-4 per-step cost cuts (incremental batched deltas,
+    # carried-rel resample) a whole 100k-row B=1024 sweep pass is ~1.3 s of
+    # device time, so the 25 per-segment round-trips at 4096 rows/dispatch
+    # dominated again; 16384 rows/dispatch keeps single-dispatch device
+    # time well under a second at B>=256 (and ~2 s at B=64) while cutting
+    # the per-pass dispatch count to ~7. Replay cadence coarsens with the
+    # segment (births are replayed after each segment dispatch) - semantics
+    # stay exact.
+    batch_segment_rows: int = 16384
     # The dense block proposals enumerate the full joint over each block, so
     # the MH proposal IS the conditional posterior and the acceptance ratio
     # is exactly 1 whenever every weight-bearing node is enumerable or
@@ -637,34 +641,63 @@ class Engine:
             return self._rejuv_step_fns[ck]
         cm = self.cm
         cap = cm.layouts[cid].capacity
+        from .refresh import row_delta
+
+        # observed classes carry rel through the chunk scan with exact
+        # point deltas (the O(N)-refresh-per-row form made replay the
+        # dominant init cost: the FIRST batched-init segment replays nearly
+        # every row against an empty latent DB); latent-class replays are
+        # rare and keep the per-row exclude-recompute
+        incr = self.config.incremental_refresh and cm.layouts[cid].observed
 
         def run(arenas, params, slots, keys_all):
-            def body(ar, s):
+            rel0 = refresh(cm, arenas, self.obs_dev) if incr else None
+
+            def body(carry, s):
+                ar, rel = carry
                 valid = s < cap
                 key = keys_all[jnp.minimum(s, cap - 1)]
                 if rejuv:
-                    rel = refresh(cm, ar, self.obs_dev, exclude_cid=cid,
-                                  exclude_slot=s)
+                    if incr:
+                        relx = row_delta(cm, rel, ar, self.obs_dev, cid,
+                                         s, -1)
+                    else:
+                        relx = refresh(cm, ar, self.obs_dev, exclude_cid=cid,
+                                       exclude_slot=s)
                     kp, kr, ka = jax.random.split(key, 3)
                     env_p, births_p, w_p = self._propose(
-                        cid, ar, rel, params, s, kp, force_retained=False)
-                    _er, _br, w_r = self._propose(
-                        cid, ar, rel, params, s, kr, force_retained=True)
-                    alive = ar[cid]["alive"][s] \
-                        if cm.layouts[cid].observed else rel[cid]["alive"][s]
-                    accept = (jnp.log(jax.random.uniform(ka))
-                              < (w_p - w_r)) & alive & valid
+                        cid, ar, relx, params, s, kp, force_retained=False)
+                    if self.exact_accept:
+                        alive = ar[cid]["alive"][s] \
+                            if cm.layouts[cid].observed \
+                            else relx[cid]["alive"][s]
+                        accept = alive & valid
+                    else:
+                        _er, _br, w_r = self._propose(
+                            cid, ar, relx, params, s, kr, force_retained=True)
+                        alive = ar[cid]["alive"][s] \
+                            if cm.layouts[cid].observed \
+                            else relx[cid]["alive"][s]
+                        accept = (jnp.log(jax.random.uniform(ka))
+                                  < (w_p - w_r)) & alive & valid
                     ar2 = apply_row(cm, cid, ar, s, env_p, births_p,
                                     accept=accept, mark_alive=False)
+                    rel2 = row_delta(cm, relx, ar2, self.obs_dev, cid,
+                                     s, +1) if incr else rel
                 else:
-                    rel = refresh(cm, ar, self.obs_dev)
+                    if not incr:
+                        relx = refresh(cm, ar, self.obs_dev)
+                    else:
+                        relx = rel
                     env2, births, _w = self._propose(
-                        cid, ar, rel, params, s, key, force_retained=False)
+                        cid, ar, relx, params, s, key, force_retained=False)
                     ar2 = apply_row(cm, cid, ar, s, env2, births,
                                     accept=valid, mark_alive=True)
-                return ar2, jnp.zeros((), jnp.int32)
+                    rel2 = row_delta(cm, relx, ar2, self.obs_dev, cid,
+                                     s, +1) if incr else rel
+                return (ar2, rel2), jnp.zeros((), jnp.int32)
 
-            arenas, _ = jax.lax.scan(body, arenas, slots)
+            (arenas, _), _ = jax.lax.scan(body, (arenas, rel0), slots)
             return arenas
 
         run = self._program(
@@ -673,7 +706,7 @@ class Engine:
         return run
 
     def replay_rows(self, cid: ClassID, arenas, params, idx, keys_all,
-                    rejuv: bool, chunk: int = 32):
+                    rejuv: bool, chunk: int = 128):
         """Sequentially replay the flagged (entity-birthing) rows: jitted
         chunks of `chunk` rows, one dispatch per chunk instead of one per
         row. Bitwise-identical to the eager loop (same key stream
@@ -743,7 +776,8 @@ class Engine:
                 do = valid & (((slot + 1) % R) == 0)
                 arenas, params = jax.lax.cond(
                     do,
-                    lambda c: resample_all(cm, c[0], c[1], self.obs_dev, k2),
+                    lambda c: resample_all(cm, c[0], c[1], self.obs_dev, k2,
+                                           rel=rel if incr else None),
                     lambda c: c,
                     (arenas, params))
                 return (arenas, params, rel), ()
@@ -935,7 +969,8 @@ class Engine:
                 do = ((bi + 1) % R) == 0
                 arenas, params = jax.lax.cond(
                     do,
-                    lambda c: resample_all(cm, c[0], c[1], self.obs_dev, kq),
+                    lambda c: resample_all(cm, c[0], c[1], self.obs_dev, kq,
+                                           rel=rel if incr else None),
                     lambda c: c,
                     (arenas, params))
                 return (arenas, params, rel), birthy
@@ -1028,10 +1063,16 @@ class Engine:
                 relcar = latent_row_delta(cm, rel, arenas, cid, slot, +1)
                 relcar = hop_move(cm, relcar, arenas, cid, slot, old_fks,
                                   hops)
+            # carried rel is current here: post-delta (incremental paths)
+            # or loop-invariant (leaf); the explicit exclude-recompute path
+            # leaves rel stale after apply, so it recomputes inside
+            cur_rel = relcar if (incr_obs or incr_lat) else \
+                (rel0 if leaf else None)
             do = valid & (((slot + 1) % R) == 0)
             arenas, params = jax.lax.cond(
                 do,
-                lambda c: resample_all(cm, c[0], c[1], self.obs_dev, kq),
+                lambda c: resample_all(cm, c[0], c[1], self.obs_dev, kq,
+                                       rel=cur_rel),
                 lambda c: c,
                 (arenas, params))
             return (arenas, params, relcar), ()
@@ -1140,7 +1181,9 @@ class Engine:
                 do = ((bi + 1) % R) == 0
                 arenas, params = jax.lax.cond(
                     do,
-                    lambda c: resample_all(cm, c[0], c[1], self.obs_dev, kq),
+                    lambda c: resample_all(cm, c[0], c[1], self.obs_dev, kq,
+                                           rel=rel if (incr or leaf)
+                                           else None),
                     lambda c: c,
                     (arenas, params))
                 return (arenas, params, rel), birthy
@@ -1231,7 +1274,9 @@ class Engine:
                 do = ((bi + 1) % R) == 0
                 arenas, params = jax.lax.cond(
                     do,
-                    lambda c: resample_all(cm, c[0], c[1], self.obs_dev, kq),
+                    lambda c: resample_all(cm, c[0], c[1], self.obs_dev, kq,
+                                           rel=rel if (incr or leaf)
+                                           else None),
                     lambda c: c,
                     (arenas, params))
                 return (arenas, params, rel), birthy
@@ -1332,6 +1377,32 @@ class Engine:
                 else:
                     run, nb, seg_b = self.scan_init_batched(
                         cid, spec.num_rows, B)
+                # Sequential RAMP for the first rows: against an empty
+                # latent DB nearly every row of the first batched segment
+                # flags birthy and falls to the (slower, chunked) replay —
+                # at B=1024 x 16384-row segments that replay dominated init
+                # (~88 s of a 93 s warm hospital-100k run). The ramp runs
+                # the scanned sequential init program (births inline,
+                # carried incremental rel) over the first ~2k rows, seeding
+                # the entity arenas so batched segments replay little.
+                ramp = ((max(B, 2048) + B - 1) // B) * B
+                ramp = ramp if spec.num_rows >= 2 * ramp else 0
+                if ramp:
+                    import math
+
+                    rrun, rseg = self.scan_init(cid, spec.num_rows)
+                    # the ramp must end on a boundary both programs agree
+                    # on: a multiple of the batch size AND the sequential
+                    # segment length
+                    ramp = ((ramp + math.lcm(B, rseg) - 1)
+                            // math.lcm(B, rseg)) * math.lcm(B, rseg)
+                    done0 = 0
+                    while done0 < ramp:
+                        key, bulk = jax.random.split(key)
+                        arenas, params = rrun(arenas, params, done0,
+                                              jax.random.split(bulk, rseg))
+                        done0 += rseg
+                    self._sync(arenas, cid)
                 # Replay entity-birthing rows PER SEGMENT, not at the end:
                 # births only materialize through the sequential replay (the
                 # batched pass defers them), so an end-of-pass replay leaves
@@ -1345,7 +1416,7 @@ class Engine:
                 key, bulk = jax.random.split(key)
                 rkeys = jax.random.split(bulk, nb * B)
                 n_replayed = 0
-                for base in range(0, nb, seg_b):
+                for base in range(ramp // B, nb, seg_b):
                     key, bulk = jax.random.split(key)
                     seg_keys = jax.random.split(bulk, seg_b * B)
                     arenas, params, fl = run(arenas, params, base,

@@ -223,7 +223,8 @@ class ShardedEngine:
                 do = ((bi + 1) % R) == 0
                 arenas, params = jax.lax.cond(
                     do,
-                    lambda c: resample_all(cm, c[0], c[1], eng.obs_dev, kq),
+                    lambda c: resample_all(cm, c[0], c[1], eng.obs_dev, kq,
+                                           rel=rel if incr else None),
                     lambda c: c,
                     (arenas, params))
                 return (arenas, params, rel), birthy
@@ -313,7 +314,9 @@ class ShardedEngine:
                 do = ((bi + 1) % R) == 0
                 arenas, params = jax.lax.cond(
                     do,
-                    lambda c: resample_all(cm, c[0], c[1], eng.obs_dev, kq),
+                    lambda c: resample_all(cm, c[0], c[1], eng.obs_dev, kq,
+                                           rel=rel if (incr or leaf)
+                                           else None),
                     lambda c: c,
                     (arenas, params))
                 return (arenas, params, rel), birthy
