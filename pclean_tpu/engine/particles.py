@@ -56,7 +56,9 @@ def propose_row_pg(engine, cid: ClassID, arenas: dict, rel: dict,
             and engine.config.collapse_exact_pg:
         env, births, w = engine._propose(cid, arenas, rel, params, slot,
                                          keys[min(1, P_ - 1)],
-                                         force_retained=False)
+                                         force_retained=False,
+                                         matmul_obs=False)  # sequential: no
+        # batch/particle vmap to amortize the score-table build over
         if retained:
             # uniform selection over P equally weighted particles: the
             # retained particle (index 0) survives with probability 1/P

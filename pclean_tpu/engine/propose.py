@@ -134,7 +134,8 @@ class BlockTracer:
                  rel: dict, params: dict, obs_arrays: dict, obs_row: dict,
                  env0: dict, row_slot, force_retained: bool = False,
                  ext_hists: Optional[dict] = None,
-                 ref_comp: Optional[dict] = None):
+                 ref_comp: Optional[dict] = None,
+                 matmul_obs: bool = True):
         self.cm = cm
         self.cid = cid
         self.arenas = arenas
@@ -163,6 +164,11 @@ class BlockTracer:
         # {path: (idx [cap, R], cnt [cap])} compacted referrer index lists
         # (Engine._ref_comp; bounds from compile._referrer_bounds)
         self.ref_comp = ref_comp or {}
+        # one-hot-matmul obs scoring only pays when the score-table build
+        # amortizes over a batch/particle vmap; the sequential B=1 drivers
+        # pass False (a [V_obs, cap] table per column per ROW would be far
+        # costlier than the single eager gather)
+        self.matmul_obs = matmul_obs
 
     def _unif(self):
         """Next uniform from the per-block pool (sample pass only)."""
@@ -283,7 +289,7 @@ class BlockTracer:
         T is clamped to NEG_INF: real -inf entries (e.g. AddTypos beyond
         max_typos) would produce 0 * -inf = NaN in the contraction.
         """
-        if not self._MM_ENABLED:
+        if not self._MM_ENABLED or not self.matmul_obs:
             return None
         dom = self.cm.domain(self.cid, vid)
         if dom is None or dom.kind == FLOAT or kern.V is None:

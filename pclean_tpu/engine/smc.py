@@ -463,7 +463,7 @@ class Engine:
         return out
 
     def _propose(self, cid, arenas, rel, params, slot, key, force_retained,
-                 ext_hists=None, ref_comp=None):
+                 ext_hists=None, ref_comp=None, matmul_obs=True):
         cm = self.cm
         c = cm.cls(cid)
         obs_row = self._obs_row_slices(cid, slot, rel)
@@ -474,7 +474,8 @@ class Engine:
             key, sub = jax.random.split(key)
             tr = BlockTracer(cm, cid, arenas, rel, params, self.obs_dev,
                              obs_row, env2, slot, force_retained=force_retained,
-                             ext_hists=ext_hists, ref_comp=ref_comp)
+                             ext_hists=ext_hists, ref_comp=ref_comp,
+                             matmul_obs=matmul_obs)
             logZ, res = tr.run(plan, sub)
             env2 = res.env
             births.extend(res.births)
@@ -482,11 +483,13 @@ class Engine:
         return env2, births, w
 
     def _propose_packed(self, cid, arenas, rel, params, slot, key,
-                        force_retained, ext_hists=None, ref_comp=None):
+                        force_retained, ext_hists=None, ref_comp=None,
+                        matmul_obs=True):
         """vmap-friendly wrapper: pytree outputs only (Birth is unpacked)."""
         env2, births, w = self._propose(cid, arenas, rel, params, slot, key,
                                         force_retained, ext_hists=ext_hists,
-                                        ref_comp=ref_comp)
+                                        ref_comp=ref_comp,
+                                        matmul_obs=matmul_obs)
         traced = [{"is_new": b.is_new, "slot": b.slot, "values": b.values}
                   for b in births]
         return env2, w, traced
@@ -570,7 +573,8 @@ class Engine:
             # row would cost a full transport round-trip on tunneled TPUs
             rel = refresh(cm, arenas, self.obs_dev)
             env2, births, _w = self._propose(cid, arenas, rel, params, slot,
-                                             key, force_retained=False)
+                                             key, force_retained=False,
+                                             matmul_obs=False)
             return apply_row(cm, cid, arenas, slot, env2, births,
                              accept=jnp.asarray(True), mark_alive=True)
 
@@ -591,9 +595,11 @@ class Engine:
                           exclude_slot=slot)
             kp, kr, ka = jax.random.split(key, 3)
             env_p, births_p, w_p = self._propose(cid, arenas, rel, params,
-                                                 slot, kp, force_retained=False)
+                                                 slot, kp, force_retained=False,
+                                                 matmul_obs=False)
             _envr, _birr, w_r = self._propose(cid, arenas, rel, params,
-                                              slot, kr, force_retained=True)
+                                              slot, kr, force_retained=True,
+                                              matmul_obs=False)
             # MH rule (row_inference.jl:161-163): accept fresh over retained
             # w.p. min(1, w2/w1)
             alive = arenas[cid]["alive"][slot] if cm.layouts[cid].observed \
@@ -666,7 +672,8 @@ class Engine:
                                        exclude_slot=s)
                     kp, kr, ka = jax.random.split(key, 3)
                     env_p, births_p, w_p = self._propose(
-                        cid, ar, relx, params, s, kp, force_retained=False)
+                        cid, ar, relx, params, s, kp, force_retained=False,
+                        matmul_obs=False)
                     if self.exact_accept:
                         alive = ar[cid]["alive"][s] \
                             if cm.layouts[cid].observed \
@@ -674,7 +681,8 @@ class Engine:
                         accept = alive & valid
                     else:
                         _er, _br, w_r = self._propose(
-                            cid, ar, relx, params, s, kr, force_retained=True)
+                            cid, ar, relx, params, s, kr, force_retained=True,
+                            matmul_obs=False)
                         alive = ar[cid]["alive"][s] \
                             if cm.layouts[cid].observed \
                             else relx[cid]["alive"][s]
@@ -690,7 +698,8 @@ class Engine:
                     else:
                         relx = rel
                     env2, births, _w = self._propose(
-                        cid, ar, relx, params, s, key, force_retained=False)
+                        cid, ar, relx, params, s, key, force_retained=False,
+                        matmul_obs=False)
                     ar2 = apply_row(cm, cid, ar, s, env2, births,
                                     accept=valid, mark_alive=True)
                     rel2 = row_delta(cm, relx, ar2, self.obs_dev, cid,
@@ -762,7 +771,8 @@ class Engine:
                 if not incr:
                     rel = refresh(cm, arenas, self.obs_dev)
                 env2, births, _w = self._propose(cid, arenas, rel, params,
-                                                 slot, k1, False)
+                                                 slot, k1, False,
+                                                 matmul_obs=False)
                 arenas = apply_row(cm, cid, arenas, slot, env2, births,
                                    accept=valid, mark_alive=False)
                 alive = arenas[cid]["alive"]
@@ -1036,7 +1046,8 @@ class Engine:
             env_p, births_p, w_p = self._propose(cid, arenas, rel, params,
                                                  slot, kp, False,
                                                  ext_hists=hists,
-                                                 ref_comp=comp)
+                                                 ref_comp=comp,
+                                                 matmul_obs=False)
             alive = arenas[cid]["alive"][slot] if observed \
                 else rel[cid]["alive"][slot]
             if self.exact_accept:
@@ -1045,7 +1056,8 @@ class Engine:
                 _er, _br, w_r = self._propose(cid, arenas, rel, params,
                                               slot, kr, True,
                                               ext_hists=hists,
-                                              ref_comp=comp)
+                                              ref_comp=comp,
+                                              matmul_obs=False)
                 accept = (jnp.log(jax.random.uniform(ka))
                           < (w_p - w_r)) & alive & valid
             if incr_lat:
