@@ -218,9 +218,9 @@ def main():
     # even if the long rents tail would blow the budget.
     attempt("hospital", hospital.setup, "Record", min_budget=120, warm=True)
     # BASELINE.md scaled config: hospital tiled to 100k synthetic rows,
-    # batch-1024 blocked Gibbs with per-row self-exclusion (F1 0.9030 at
-    # B=256 AND B=1024, measured end-to-end 2026-08-19, matching B=64's
-    # 0.902 — co-reference blindness is bounded at ~2% even at maximal
+    # batch-4096 blocked Gibbs with per-row self-exclusion (F1 0.9030 at
+    # B=256, 1024 AND 4096, measured end-to-end 2026-08-19, matching
+    # B=64's 0.902; B=4096 measured 8.1 s total / 12,341 rows-cleaned/s — co-reference blindness is bounded at ~2% even at maximal
     # batch, tests/test_coref_blindness.py). warm=True pays one throwaway
     # pass so the timed run measures inference, not program loading;
     # attempt() drops the warm pass automatically when the remaining budget
@@ -228,9 +228,15 @@ def main():
     # config runs the same speed as MH when the exactness audit passes
     # (collapse_exact_pg): see bench_results/.
     attempt("hospital_100k", hospital.setup, "Record", min_budget=200,
-            warm=True, repeat=100, batch=1024)
+            warm=True, repeat=100, batch=4096)
     attempt("flights", flights.setup, "Obs", min_budget=90, warm=True)
-    attempt("rents", rents.setup, "Obs", min_budget=150, warm=True)
+    # rents at B=256 blocked Gibbs: F1 by batch over seeds 0/1/2
+    # (scripts/batch_bias_results.jsonl 2026-08-19): B=1 0.689/0.682/0.683,
+    # B=64 0.679/0.686/0.680, B=256 0.679/0.686/0.680 — batching is
+    # accuracy-neutral on the hardest workload (one-count bias fixed,
+    # co-reference blindness bounded), so the throughput config is clean.
+    attempt("rents", rents.setup, "Obs", min_budget=150, warm=True,
+            batch=256)
     # BASELINE.md 1M-row scaled config, budget-permitting fifth workload
     # (VERDICT r3 item 2): single chip; the N>=2-host version of the same
     # model is exercised by dryrun_multichip + the multihost tests. Runs
