@@ -164,7 +164,17 @@ def setup(rows=None, counties=1000, hospitals=8000, names=2000, zips=500,
     if particles:
         cfg.update(use_mh_instead_of_pg=False, num_particles=particles)
     config = InferenceConfig(num_iters=sweeps, batch_rows=batch, **cfg)
-    cm = compile_model(model, [ds], auto_capacities=True)
+    # Explicit capacities from the generator's own entity counts (a
+    # production user sizing a 1M-row run knows their scale too). The
+    # auto_capacities distinct-joint-signature bound stays as the fallback
+    # for classes not listed, but on this config it is uselessly loose:
+    # typo variants multiply ACROSS columns, so 8,000 true hospitals
+    # auto-size to ~110k slots — an [B, 110k] candidate axis and
+    # [110k, 8k] hoisted referrer histograms that OOM-crashed the TPU
+    # worker (measured 2026-08-19).
+    caps = {"Hospital": (int(hospitals * 1.4) + 127) // 64 * 64,
+            "County": (int(counties * 1.4) + 127) // 64 * 64}
+    cm = compile_model(model, [ds], capacities=caps, auto_capacities=True)
     return cm, config, dirty, clean, query, sweeps
 
 

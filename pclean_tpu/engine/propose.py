@@ -1113,8 +1113,13 @@ def referrer_histograms(cm: CompiledModel, cid: ClassID, arenas: dict,
                 vmap = cm.cls(cid).incoming_references[node.path]
                 inv = {sv: tv for tv, sv in vmap.items()}
                 key = (node.path, node.ext_id)
+                # size gate: a [cap, V] hoisted histogram at large-arena
+                # scale (e.g. 11k hospitals x 8k-word vocab = 360 MB each)
+                # is HBM-hostile; the tracer's per-slot scatter fallback
+                # (pre=None) costs O(B x V) instead
                 if isinstance(kern, _AddTyposK) and word_sv in inv \
-                        and key not in out:
+                        and key not in out \
+                        and cap * kern.V <= 32_000_000:
                     t = None
                     for (hop_cid, hop_fk) in reversed(node.path):
                         col = arenas[hop_cid]["values"][hop_fk]
