@@ -589,6 +589,9 @@ class BlockTracer:
                                             mask, inv, depth, ext_value,
                                             path=node.path, slots=slots,
                                             compacted=compacted)
+            if hist_term is None:
+                hist_term = self._ext_gauss_term(kern, ext, src, node.ext_id,
+                                                 inv, depth, path=node.path)
             if hist_term is not None:
                 presummed = presummed + hist_term
             else:
@@ -657,7 +660,15 @@ class BlockTracer:
         w = mask if st is None else (mask & (st != 2))
         V = kern.V
         if word_sv in inv and inv[word_sv] in self.env:
-            pre = None if compacted else self.ext_hists.get((path, ext_id))
+            # The hoisted per-slot histogram is valid regardless of
+            # referrer-list compaction: referrer_histograms chases the same
+            # fk chain over ALL source rows with the same alive/&state!=2
+            # mask, so pre[slot] equals the scatter over the slot's
+            # compacted referrer list exactly (integer counts). Preferring
+            # it here removed the dominant rents County cost — a vmapped
+            # [B, V] scatter-add with ~R updates per swept row (532 ms/step
+            # measured at B=256) becomes one [V] gather per row.
+            pre = self.ext_hists.get((path, ext_id))
             if pre is not None:
                 # hoisted: one [cap, V] scatter per sweep segment instead of
                 # one [Cs] scatter per swept slot (referrer_histograms)
@@ -714,6 +725,66 @@ class BlockTracer:
                 .reshape((-1, V)) @ hist
             termvec = jnp.reshape(termvec, SA.shape[:len(env_args)])
         return termvec[tuple(env_idx)]
+
+    def _ext_gauss_term(self, kern, ext: ChoiceNode, src: ClassID,
+                        ext_id: VertexID, inv, depth: int, path=None):
+        """Closed-form Gaussian external via per-segment sufficient
+        statistics (the rents County bottleneck: VERDICT r4 profile).
+
+        A Gaussian external whose mean is an indexed-parameter lookup over
+        (overlaid env axes..., at most one per-referrer categorical)
+        otherwise materializes a [*option-axes x referrers] tensor per
+        swept slot — rents County: [B, 51 states, 1664 referrers] f32 =
+        87 MB per scan step, 521 ms/step measured. But
+        Sum_r logN(z_r; mu_{c_r}, s) factorizes through per-group
+        sufficient statistics: with (n_c, Sz_c, Szz_c) per referrer group
+        c (hoisted per segment by gaussian_stats — the referrers are
+        frozen during the swept class's own sweep, same argument as
+        referrer_histograms) the whole external is
+            -(Szz - 2 mu_c Sz + n_c mu_c^2)/(2 s^2) summed over c
+        minus the mean-independent normalization + Jacobian terms
+        (presummed per slot). The env-axes tensor shrinks to
+        [B, axes..., C] with C = group count (rents: 5 room types).
+
+        Returns None (dense fallback) unless the structure matches and the
+        hoisted stats are available."""
+        from .kernels import _GaussianK
+
+        if not isinstance(kern, _GaussianK) or kern.mean_vid is None:
+            return None
+        pre = self.ext_hists.get((path, ext_id))
+        if not (isinstance(pre, tuple) and len(pre) == 5
+                and pre[0] == "gauss"):
+            return None
+        _tag, n_g, sz_g, szz_g, pre0 = pre
+        mnode = self.cm.node(src, kern.mean_vid)
+        if not isinstance(mnode, ParamLookupNode) or mnode.gate_id is not None:
+            return None
+        knode = self.cm.node(src, mnode.key_id)
+        if not (isinstance(knode, ComputeNode) and knode.kind == "table"):
+            return None
+        env_args = [a for a in knode.arg_ids
+                    if a in inv and inv[a] in self.env]
+        ref_args = [a for a in knode.arg_ids if a not in env_args]
+        if len(ref_args) != 1 or set(env_args + ref_args) != set(knode.arg_ids):
+            return None
+        tbl = self.cm.interned.use(
+            self.cm.tables[self.cm.canon(src, mnode.key_id)])
+        # reorder key-table axes to (env..., ref)
+        order = [knode.arg_ids.index(a) for a in env_args + ref_args]
+        tbl = jnp.transpose(tbl, order)
+        ck, pk = self.cm.canon(src, mnode.param_id)
+        values = self.params[ck][pk]["value"]
+        env_idx = tuple(self.aligned(inv[a], depth) for a in env_args)
+        mu = values[tbl[env_idx]]  # [axes..., C]
+        n = n_g[self.row_slot]     # [C]
+        sz = sz_g[self.row_slot]
+        szz = szz_g[self.row_slot]
+        inv_var = 1.0 / (kern.std * kern.std)
+        term = -0.5 * inv_var * (
+            jnp.sum(szz) - 2.0 * jnp.sum(mu * sz, axis=-1)
+            + jnp.sum(mu * mu * n, axis=-1))
+        return term + pre0[self.row_slot]
 
     def _ext_obs(self, src: ClassID, svid: VertexID, slots=None):
         """Observed (value, state) arrays of a source-class vertex over
@@ -1097,10 +1168,71 @@ def referrer_histograms(cm: CompiledModel, cid: ClassID, arenas: dict,
     drop, and out-of-range slots drop via mode="drop"; H[slot] is then
     exactly `hist` for row_slot=slot.
     """
-    from .kernels import _AddTyposK
+    import math
+
+    from .kernels import _AddTyposK, _GaussianK
 
     out: dict = {}
     cap = cm.layouts[cid].capacity
+
+    def gauss_stats(src, node, kern, inv):
+        """[cap, C] per-(slot, referrer-group) Gaussian sufficient stats +
+        [cap] mean-independent presum — see BlockTracer._ext_gauss_term."""
+        from ..model.ir import ParamLookupNode as PLN
+
+        if kern.mean_vid is None:
+            return None
+        mnode = cm.node(src, kern.mean_vid)
+        if not isinstance(mnode, PLN) or mnode.gate_id is not None:
+            return None
+        knode = cm.node(src, mnode.key_id)
+        if not (isinstance(knode, ComputeNode) and knode.kind == "table"):
+            return None
+        env_args = [a for a in knode.arg_ids if a in inv]
+        ref_args = [a for a in knode.arg_ids if a not in inv]
+        if len(ref_args) != 1:
+            return None
+        ref_a = ref_args[0]
+        rdom = cm.domain(src, ref_a)
+        if rdom is None or rdom.kind == FLOAT:
+            return None
+        C = rdom.size
+        Cs = cm.layouts[src].capacity
+        slots = jnp.arange(Cs)
+        oa = obs_arrays.get(src, {}).get(node.ext_id)
+        if oa is None:
+            return None
+        codes, state = oa
+        stored = row_value(cm, arenas, params, src, node.ext_id, slots)
+        val = jnp.where(jnp.asarray(state) == 1,
+                        cm.interned.use(codes), stored)
+        w = rel[src]["alive"] & (jnp.asarray(state) == 1)
+        t = None
+        for (hop_cid, hop_fk) in reversed(node.path):
+            col = arenas[hop_cid]["values"][hop_fk]
+            t = col if t is None else col[t]
+
+        class _RCtx:  # per-source-row value resolver for backward/deriv
+            def value(_self, vid):
+                return row_value(cm, arenas, params, src, vid, slots)
+
+            def pstate(_self, c2, v2):
+                return params[c2][v2]
+
+        rctx = _RCtx()
+        z = kern.backward(rctx, val)
+        ld = kern._log_abs_deriv(rctx, z)
+        rv = row_value(cm, arenas, params, src, ref_a, slots)
+        wf = jnp.where(w, 1.0, 0.0)
+        n = jnp.zeros((cap, C), jnp.float32).at[t, rv].add(wf, mode="drop")
+        sz = jnp.zeros((cap, C), jnp.float32).at[t, rv].add(wf * z,
+                                                            mode="drop")
+        szz = jnp.zeros((cap, C), jnp.float32).at[t, rv].add(wf * z * z,
+                                                             mode="drop")
+        const = -math.log(kern.std) - 0.5 * math.log(2.0 * math.pi)
+        pre0 = jnp.zeros((cap,), jnp.float32).at[t].add(
+            wf * (const - ld), mode="drop")
+        return ("gauss", n, sz, szz, pre0)
 
     def collect(step):
         node = cm.node(cid, step.idx)
@@ -1113,6 +1245,10 @@ def referrer_histograms(cm: CompiledModel, cid: ClassID, arenas: dict,
                 vmap = cm.cls(cid).incoming_references[node.path]
                 inv = {sv: tv for tv, sv in vmap.items()}
                 key = (node.path, node.ext_id)
+                if isinstance(kern, _GaussianK) and key not in out:
+                    st = gauss_stats(src, node, kern, inv)
+                    if st is not None:
+                        out[key] = st
                 # size gate: a [cap, V] hoisted histogram at large-arena
                 # scale (e.g. 11k hospitals x 8k-word vocab = 360 MB each)
                 # is HBM-hostile; the tracer's per-slot scatter fallback
