@@ -135,7 +135,8 @@ class BlockTracer:
                  env0: dict, row_slot, force_retained: bool = False,
                  ext_hists: Optional[dict] = None,
                  ref_comp: Optional[dict] = None,
-                 matmul_obs: bool = True):
+                 matmul_obs: bool = True,
+                 cand: Optional[dict] = None):
         self.cm = cm
         self.cid = cid
         self.arenas = arenas
@@ -169,6 +170,17 @@ class BlockTracer:
         # pass False (a [V_obs, cap] table per column per ROW would be far
         # costlier than the single eager gather)
         self.matmul_obs = matmul_obs
+        # {target class: (idx [Kc], inv [cap], nc)} COMPACTED fk-candidate
+        # axes (engine.build_cand): idx holds the live slot ids (ascending,
+        # padded with `cap`), inv maps slot id -> compact position (Kc for
+        # non-candidates), nc = live count. Valid for a whole segment:
+        # births are deferred to the between-segment replay, so the live
+        # set only SHRINKS mid-segment and shrinkage is masked by the
+        # Pitman-Yor liveness term. The reference bar this chases is the
+        # proposal hash restriction (proposal_compiler.jl:142-151): rents
+        # enumerates 4,097 County slots with ~67 alive, hospital 513 with
+        # ~55 — the compact axis removes that 8-60x waste.
+        self.cand = cand or {}
 
     def _unif(self):
         """Next uniform from the per-block pool (sample pass only)."""
@@ -456,11 +468,24 @@ class BlockTracer:
     def score_fk(self, step: Step, vid: VertexID, fknode: ForeignKeyNode,
                  depth: int, mode: dict, ctx_key: tuple):
         tc = fknode.target_class
-        K = self.cm.layouts[tc].capacity
-        py_exist, py_new = self.py_logprobs(tc)
+        cap = self.cm.layouts[tc].capacity
+        comp = self.cand.get(tc)
+        py_exist_full, py_new = self.py_logprobs(tc)
+        if comp is not None:
+            idx, _invm, nc = comp
+            K = int(idx.shape[0])
+            pos = jnp.arange(K)
+            # pad positions clamp their gathers to a real slot; the mask
+            # makes them unselectable regardless of what they scored
+            slot_ids = jnp.minimum(idx, cap - 1)
+            py_exist = jnp.where(pos < nc, py_exist_full[slot_ids], NINF)
+        else:
+            K = cap
+            slot_ids = jnp.arange(K)
+            py_exist = py_exist_full
 
         self.axes.append(K)
-        self.env[vid] = (depth + 1, jnp.arange(K))
+        self.env[vid] = (depth + 1, slot_ids)
         ch_e = self.score_plan(step.rest, depth + 1, {**mode, vid: "E"},
                                ctx_key + ((vid, "E"),))
         self.axes.pop()
@@ -934,14 +959,20 @@ class BlockTracer:
     def sample_fk(self, step: Step, vid: VertexID, fknode: ForeignKeyNode,
                   st: "_SampleState", anc: tuple, mode: dict, ctx_key: tuple):
         tc = fknode.target_class
-        K = self.cm.layouts[tc].capacity
+        cap = self.cm.layouts[tc].capacity
+        comp = self.cand.get(tc)
         rec = self.records[(vid, ctx_key)]
         logits = rec[anc] if anc else rec  # [K+1]
+        K = int(logits.shape[-1]) - 1  # compact Kc or full cap
         retained_dead = jnp.asarray(False)
         if self.force_retained:
             rv = jnp.asarray(self._forced(vid), dtype=jnp.int32)
             alive_rv = self.rel[tc]["alive"][rv] & (self.rel[tc]["refcount"][rv] > 0)
-            chosen = jnp.where(alive_rv, rv, jnp.asarray(K, jnp.int32))
+            # an alive retained slot is always in the segment-entry
+            # candidate list (the live set only shrinks mid-segment), so
+            # inv maps it to its compact position
+            rpos = comp[1][rv] if comp is not None else rv
+            chosen = jnp.where(alive_rv, rpos, jnp.asarray(K, jnp.int32))
             retained_dead = ~alive_rv
         else:
             chosen = _inv_cdf_from_u(self._unif(), logits)
@@ -953,7 +984,9 @@ class BlockTracer:
         chosen = jnp.where(is_new & ~has_free, fallback, chosen)
         is_new = is_new & has_free
         effective_new = is_new & st.gate
-        c_exist = jnp.minimum(chosen, K - 1)
+        c_exist = jnp.minimum(chosen, K - 1)  # compact POSITION
+        c_exist_slot = jnp.minimum(comp[0][c_exist], cap - 1) \
+            if comp is not None else c_exist  # real slot id
 
         # fresh slot: first free (dead) slot of the working alive mask; a
         # retained-dead fk re-births in its old slot
@@ -966,14 +999,15 @@ class BlockTracer:
             slot = free
         st.alive2[tc] = st.alive2[tc].at[slot].set(
             st.alive2[tc][slot] | effective_new)
-        final = jnp.where(is_new, slot, chosen).astype(jnp.int32)
+        final = jnp.where(is_new, slot, c_exist_slot).astype(jnp.int32)
         st.env2[vid] = final
 
         # Children: run both branches and select. Existing branch: descend
-        # in copy mode at the clamped candidate; new branch: descend the
-        # recorded 'N' posteriors.
+        # in copy mode at the clamped candidate (env carries the REAL slot,
+        # the ancestor tuple the recorded-axis position); new branch:
+        # descend the recorded 'N' posteriors.
         env_keep = dict(st.env2)
-        st.env2[vid] = c_exist
+        st.env2[vid] = c_exist_slot
         for ch in step.rest.steps:
             self.sample_step(ch, st, anc + (c_exist,), {**mode, vid: "E"},
                              ctx_key + ((vid, "E"),))
@@ -1097,6 +1131,28 @@ class _KeyStream:
         sub = jax.random.fold_in(self.key, self.i)
         self.i += 1
         return sub
+
+
+def build_cand(cm: CompiledModel, rel: dict, kc: dict) -> dict:
+    """{target class: (idx [Kc], inv [cap], nc)} compact candidate axes from
+    the segment-entry relational snapshot (see BlockTracer.cand). kc maps
+    class -> STATIC Kc (engine-chosen per segment from fetched live counts,
+    with headroom; the live set only shrinks within a segment, so Kc >=
+    live-at-entry can never overflow). Deterministic (stable argsort), so
+    sharded and single-device programs build identical lists."""
+    out = {}
+    for tc, Kc in kc.items():
+        cap = cm.layouts[tc].capacity
+        r = rel[tc]
+        live = r["alive"] & (r["refcount"] > 0)
+        order = jnp.argsort(~live)  # stable: live slots first, ascending
+        idx = order[:Kc].astype(jnp.int32)
+        nc = jnp.minimum(jnp.sum(live.astype(jnp.int32)), Kc)
+        idxm = jnp.where(jnp.arange(Kc) < nc, idx, cap)
+        inv = jnp.full((cap,), Kc, jnp.int32).at[idxm].set(
+            jnp.arange(Kc, dtype=jnp.int32), mode="drop")
+        out[tc] = (idxm, inv, nc)
+    return out
 
 
 def precompute_sa_tables(cm: CompiledModel) -> None:

@@ -215,7 +215,7 @@ def _apply_batch(cm: CompiledModel, cid: ClassID, arenas: dict, slots,
 
 
 def mh_row_step(eng, cid: ClassID, arenas: dict, rel: dict, params: dict,
-                s, k, valid, ext_hists=None, ref_comp=None):
+                s, k, valid, ext_hists=None, ref_comp=None, cand=None):
     """One row's MH rejuvenation decision against a (possibly frozen)
     relational snapshot: propose fresh, optionally score retained, accept by
     the MH rule (row_inference.jl:161-163). Shared verbatim by the
@@ -248,7 +248,7 @@ def mh_row_step(eng, cid: ClassID, arenas: dict, rel: dict, params: dict,
     kp, kr, ka = jax.random.split(k, 3)
     env_p, w_p, births = eng._propose_packed(cid, arenas, rel, params, s, kp,
                                              False, ext_hists=ext_hists,
-                                             ref_comp=ref_comp)
+                                             ref_comp=ref_comp, cand=cand)
     alive = arenas[cid]["alive"][s] if cm.layouts[cid].observed \
         else rel[cid]["alive"][s]
     alive = alive & valid
@@ -260,13 +260,13 @@ def mh_row_step(eng, cid: ClassID, arenas: dict, rel: dict, params: dict,
     else:
         _er, w_r, _b = eng._propose_packed(cid, arenas, rel, params, s, kr,
                                            True, ext_hists=ext_hists,
-                                           ref_comp=ref_comp)
+                                           ref_comp=ref_comp, cand=cand)
         accept = (jnp.log(jax.random.uniform(ka)) < (w_p - w_r)) & alive
     return env_p, accept & ~birthy, birthy & alive
 
 
 def init_row_step(eng, cid: ClassID, arenas: dict, rel: dict, params: dict,
-                  s, k, valid, ext_hists=None):
+                  s, k, valid, ext_hists=None, cand=None):
     """One fresh row's SMC-init proposal against a frozen snapshot; rows that
     would birth latent entities are deferred (returned flagged) so entity
     creation stays exact under batching. Shared by single-device and sharded
@@ -274,7 +274,7 @@ def init_row_step(eng, cid: ClassID, arenas: dict, rel: dict, params: dict,
 
     Returns (env2, ok, birthy)."""
     env2, _w, births = eng._propose_packed(cid, arenas, rel, params, s, k,
-                                           False)
+                                           False, cand=cand)
     birthy = jnp.zeros((), bool)
     for b in births:
         birthy = birthy | b["is_new"]
@@ -321,6 +321,7 @@ class Engine:
         self._interned_dev = cm.interned.device_leaves()
         self._init_step_fns: dict[ClassID, callable] = {}
         self._rejuv_step_fns: dict[ClassID, callable] = {}
+        self._kc_state = None  # [kc dict, replayed births since fetch]
         from .aot import AotCache
         from .gibbs_params import resample_all
 
@@ -422,6 +423,55 @@ class Engine:
             out[path] = (idx, cnt)
         return out
 
+    def _kc(self, arenas) -> dict:
+        """{latent class: static Kc} for candidate-axis compaction this
+        segment: live counts fetched as ONE stacked scalar vector (a
+        per-class fetch costs a tunnel round-trip each — the naive
+        per-segment version added ~1 s x 14 calls to the hospital-100k
+        sweep), rounded up to a 64-multiple with +32 headroom, and CACHED
+        until enough births have been replayed to threaten the headroom.
+        Classes whose compact axis wouldn't shrink meaningfully
+        (Kc >= cap/2) or are tiny (cap < 256) are omitted — the
+        quantization keeps per-Kc program-cache churn to a handful of
+        retraces per run. Safety: the live set only shrinks WITHIN a
+        segment (births are deferred to the between-segment replay, which
+        bumps the birth counter via _kc_note), so a cached Kc >= live+32
+        can only overflow after >32 replayed births — the counter
+        invalidates the cache well before that (propose.build_cand)."""
+        st = self._kc_state
+        if st is not None and st[1] <= 24:
+            return st[0]
+        fetch = self.__dict__.get("_live_counts_fn")
+        latents = [c for c in self.cm.model.class_order
+                   if not self.cm.layouts[c].observed]
+        if fetch is None:
+            cm = self.cm
+
+            def counts(arenas):
+                rel = refresh(cm, arenas, self.obs_dev)
+                return jnp.stack([jnp.sum(rel[c]["alive"].astype(jnp.int32))
+                                  for c in latents])
+
+            fetch = jax.jit(counts)
+            self.__dict__["_live_counts_fn"] = fetch
+        lives = np.asarray(fetch(arenas))
+        out = {}
+        for c, live in zip(latents, lives):
+            cap = self.cm.layouts[c].capacity
+            if cap < 256:
+                continue
+            Kc = ((int(live) + 32 + 63) // 64) * 64
+            if Kc < cap // 2:
+                out[c] = Kc
+        self._kc_state = [out, 0]
+        return out
+
+    def _kc_note(self, n_births: int) -> None:
+        """Replayed births can grow the live sets the cached Kc was sized
+        for; count them so _kc re-fetches before the +32 headroom runs out."""
+        if self._kc_state is not None:
+            self._kc_state[1] += int(n_births)
+
     def _leaf_latent(self, cid) -> bool:
         """Latent class with no outgoing fks: its exclude-refresh is a
         no-op (live_mask exclusion only affects classes cid refers to) and
@@ -463,7 +513,7 @@ class Engine:
         return out
 
     def _propose(self, cid, arenas, rel, params, slot, key, force_retained,
-                 ext_hists=None, ref_comp=None, matmul_obs=True):
+                 ext_hists=None, ref_comp=None, matmul_obs=True, cand=None):
         cm = self.cm
         c = cm.cls(cid)
         obs_row = self._obs_row_slices(cid, slot, rel)
@@ -475,7 +525,7 @@ class Engine:
             tr = BlockTracer(cm, cid, arenas, rel, params, self.obs_dev,
                              obs_row, env2, slot, force_retained=force_retained,
                              ext_hists=ext_hists, ref_comp=ref_comp,
-                             matmul_obs=matmul_obs)
+                             matmul_obs=matmul_obs, cand=cand)
             logZ, res = tr.run(plan, sub)
             env2 = res.env
             births.extend(res.births)
@@ -484,12 +534,12 @@ class Engine:
 
     def _propose_packed(self, cid, arenas, rel, params, slot, key,
                         force_retained, ext_hists=None, ref_comp=None,
-                        matmul_obs=True):
+                        matmul_obs=True, cand=None):
         """vmap-friendly wrapper: pytree outputs only (Birth is unpacked)."""
         env2, births, w = self._propose(cid, arenas, rel, params, slot, key,
                                         force_retained, ext_hists=ext_hists,
                                         ref_comp=ref_comp,
-                                        matmul_obs=matmul_obs)
+                                        matmul_obs=matmul_obs, cand=cand)
         traced = [{"is_new": b.is_new, "slot": b.slot, "values": b.values}
                   for b in births]
         return env2, w, traced
@@ -925,7 +975,8 @@ class Engine:
         self._rejuv_step_fns[ck] = (run, seg)
         return run, seg
 
-    def scan_init_batched(self, cid: ClassID, num_rows: int, B: int):
+    def scan_init_batched(self, cid: ClassID, num_rows: int, B: int,
+                          kc: Optional[dict] = None):
         """Initialization pass with B-row blocked batches inside ONE scanned
         XLA program: each batch is proposed in parallel against the carried
         snapshot (blocked Gibbs, SURVEY.md §7), rows that would birth latent
@@ -944,18 +995,21 @@ class Engine:
         nb = (num_rows + B - 1) // B
         seg_b = max(1, min(self.config.batch_segment_rows, num_rows) // B)
         seg_b = min(seg_b, nb)
-        ck = ("scan_init_b", cid, B, num_rows, seg_b)
+        kct = tuple(sorted((kc or {}).items()))
+        ck = ("scan_init_b", cid, B, num_rows, seg_b, kct)
         if ck in self._init_step_fns:
             return self._init_step_fns[ck]
         cm = self.cm
         R = max(1, self.config.rejuv_frequency // B)
         from .gibbs_params import resample_all
+        from .propose import build_cand
         from .refresh import batch_obs_delta
 
         incr = self.config.incremental_refresh
 
         def run(arenas, params, base, keys):  # keys: [seg_b*B, 2]
             relc = refresh(cm, arenas, self.obs_dev)
+            cand = build_cand(cm, relc, kc) if kc else None
 
             def body(carry, x):
                 arenas, params, rel = carry
@@ -966,7 +1020,8 @@ class Engine:
                     rel = refresh(cm, arenas, self.obs_dev)
                 env2, ok, birthy = jax.vmap(
                     lambda s, k: init_row_step(self, cid, arenas, rel, params,
-                                               s, k, s < num_rows))(slots, bkeys)
+                                               s, k, s < num_rows,
+                                               cand=cand))(slots, bkeys)
                 old = arenas
                 arenas = _apply_batch(cm, cid, arenas, slots, env2, ok,
                                       mark_alive=True)
@@ -990,7 +1045,9 @@ class Engine:
                 (jnp.arange(seg_b), keys.reshape(seg_b, B, 2)))
             return arenas, params, flags.reshape(-1)
 
-        run = self._program(f"scan_init_b{B}_{cid}_{num_rows}_s{seg_b}", run)
+        sig = "-".join(f"{c}{k}" for c, k in kct)
+        run = self._program(
+            f"scan_init_b{B}_{cid}_{num_rows}_s{seg_b}_K{sig}", run)
         self._init_step_fns[ck] = (run, nb, seg_b)
         return run, nb, seg_b
 
@@ -1164,6 +1221,9 @@ class Engine:
             leaf = self._leaf_latent(cid)
             observed = cm.layouts[cid].observed
             incr = self.config.incremental_refresh and not leaf
+            # the fused small-workload path stays uncompacted: it mirrors
+            # the sharded scan_sweep_all_batched bitwise
+            cand = None
             relc = refresh(cm, arenas, self.obs_dev)
             hists = self._ext_hists(cid, arenas, params, rel=relc)
             comp = self._ref_comp(cid, arenas, relc)
@@ -1180,7 +1240,8 @@ class Engine:
                     lambda s, k: mh_row_step(self, cid, arenas, rel, params,
                                              s, k, s < cap,
                                              ext_hists=hists,
-                                             ref_comp=comp))(slots, bkeys)
+                                             ref_comp=comp,
+                                             cand=cand))(slots, bkeys)
                 old = arenas
                 arenas = _apply_batch(cm, cid, arenas, slots, env2, accept,
                                       mark_alive=False)
@@ -1224,7 +1285,8 @@ class Engine:
         self._rejuv_step_fns[ck] = (run, total, caps)
         return run, total, caps
 
-    def scan_sweep_class_batched(self, cid: ClassID, B: int):
+    def scan_sweep_class_batched(self, cid: ClassID, B: int,
+                                 kc: Optional[dict] = None):
         """One class's batched blocked-Gibbs sweep, dispatched in segments
         of `seg_b` batches — the large-workload counterpart of
         scan_sweep_all_batched (same per-batch semantics; bounded
@@ -1236,12 +1298,14 @@ class Engine:
         nb = (cap + B - 1) // B
         seg_b = max(1, min(self.config.batch_segment_rows, cap) // B)
         seg_b = min(seg_b, nb)
-        ck = ("scan_sweep_class_b", cid, B, seg_b)
+        kct = tuple(sorted((kc or {}).items()))
+        ck = ("scan_sweep_class_b", cid, B, seg_b, kct)
         if ck in self._rejuv_step_fns:
             return self._rejuv_step_fns[ck]
         cm = self.cm
         R = max(1, self.config.rejuv_frequency // B)
         from .gibbs_params import resample_all
+        from .propose import build_cand
         from .refresh import (batch_latent_delta, batch_obs_delta,
                               hop_histograms)
 
@@ -1257,6 +1321,7 @@ class Engine:
 
         def run(arenas, params, base, keys):  # keys: [seg_b*B, 2]
             relc = refresh(cm, arenas, self.obs_dev)
+            cand = build_cand(cm, relc, kc) if kc else None
             hists = self._ext_hists(cid, arenas, params, rel=relc)
             comp = self._ref_comp(cid, arenas, relc)
             hops = hop_histograms(cm, cid, arenas, self.obs_dev) \
@@ -1273,7 +1338,8 @@ class Engine:
                     lambda s, k: mh_row_step(self, cid, arenas, rel, params,
                                              s, k, s < cap,
                                              ext_hists=hists,
-                                             ref_comp=comp))(slots, bkeys)
+                                             ref_comp=comp,
+                                             cand=cand))(slots, bkeys)
                 old = arenas
                 arenas = _apply_batch(cm, cid, arenas, slots, env2, accept,
                                       mark_alive=False)
@@ -1298,7 +1364,8 @@ class Engine:
                 (jnp.arange(seg_b), keys.reshape(seg_b, B, 2)))
             return arenas, params, flags.reshape(-1)
 
-        run = self._program(f"scan_sweep_cb{B}_{cid}_s{seg_b}", run)
+        sig = "-".join(f"{c}{k}" for c, k in kct)
+        run = self._program(f"scan_sweep_cb{B}_{cid}_s{seg_b}_K{sig}", run)
         self._rejuv_step_fns[ck] = (run, nb, seg_b)
         return run, nb, seg_b
 
@@ -1397,6 +1464,12 @@ class Engine:
                 # the scanned sequential init program (births inline,
                 # carried incremental rel) over the first ~2k rows, seeding
                 # the entity arenas so batched segments replay little.
+                # ramp length is a measured trade: longer ramps pay
+                # sequential per-row cost, shorter ones push undiscovered
+                # entities into the (also sequential, costlier-per-row)
+                # replay. 2048 beat 512 on rents-50k (init 14.6 s vs
+                # 22.4 s); hospital-100k at B>=2048 is unaffected (the
+                # max() is B-dominated).
                 ramp = ((max(B, 2048) + B - 1) // B) * B
                 ramp = ramp if spec.num_rows >= 2 * ramp else 0
                 if ramp:
@@ -1429,6 +1502,16 @@ class Engine:
                 rkeys = jax.random.split(bulk, nb * B)
                 n_replayed = 0
                 for base in range(ramp // B, nb, seg_b):
+                    # per-segment compact candidate axes: live counts only
+                    # grow between segments (replay births), so Kc is
+                    # re-fetched each segment; program cache per Kc bucket
+                    kc = self._kc(arenas)
+                    if self.sharded is not None:
+                        run, _nb, _sb = self.sharded.scan_init_batched(
+                            cid, spec.num_rows, B, kc=kc)
+                    else:
+                        run, _nb, _sb = self.scan_init_batched(
+                            cid, spec.num_rows, B, kc=kc)
                     key, bulk = jax.random.split(key)
                     seg_keys = jax.random.split(bulk, seg_b * B)
                     arenas, params, fl = run(arenas, params, base,
@@ -1440,6 +1523,7 @@ class Engine:
                     if idx.size:
                         arenas = self.replay_rows(cid, arenas, params,
                                                   idx, rkeys, rejuv=False)
+                        self._kc_note(idx.size)
                         n_replayed += idx.size
                     if progress and (hi // progress) != (lo // progress):
                         print(f"Initialized ~{hi} of {spec.num_rows} "
@@ -1561,6 +1645,7 @@ class Engine:
                 rk = jax.random.split(bulk, self.cm.layouts[cid].capacity)
                 arenas = self.replay_rows(cid, arenas, params, idx, rk,
                                           rejuv=True)
+                self._kc_note(idx.size)
             if progress:
                 print("sweep done (fused, batched)")
             return arenas, params, key
@@ -1573,6 +1658,9 @@ class Engine:
                 cap = self.cm.layouts[cid].capacity
                 parts = []
                 for base in range(0, nb, seg_b):
+                    kc = self._kc(arenas)
+                    run, _nb, _sb = self.scan_sweep_class_batched(cid, B,
+                                                                  kc=kc)
                     key, bulk = jax.random.split(key)
                     seg_keys = jax.random.split(bulk, seg_b * B)
                     arenas, params, fl = run(arenas, params, base, seg_keys)
@@ -1584,6 +1672,7 @@ class Engine:
                     rk = jax.random.split(bulk, cap)
                     arenas = self.replay_rows(cid, arenas, params, idx, rk,
                                               rejuv=True)
+                    self._kc_note(idx.size)
                 if progress:
                     print(f"{cid}: sweep done (batched, segmented)")
             return arenas, params, key

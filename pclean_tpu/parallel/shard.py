@@ -160,7 +160,8 @@ class ShardedEngine:
 
     # -- fused scan drivers (row-sharded counterparts of Engine.scan_*) -----
 
-    def scan_init_batched(self, cid: ClassID, num_rows: int, B: int):
+    def scan_init_batched(self, cid: ClassID, num_rows: int, B: int,
+                          kc=None):
         """Row-sharded twin of Engine.scan_init_batched: one scanned XLA
         program over row batches, each batch split across the mesh 'data'
         axis (B = n_data * B_local rows per step), arenas replicated and
@@ -178,7 +179,8 @@ class ShardedEngine:
         seg_b = max(1, min(self.eng.config.batch_segment_rows, num_rows) // B)
         nb = (num_rows + B - 1) // B
         seg_b = min(seg_b, nb)
-        key = ("scan_init_b", cid, B, num_rows, seg_b)
+        kct = tuple(sorted((kc or {}).items()))
+        key = ("scan_init_b", cid, B, num_rows, seg_b, kct)
         if key in self._fns:
             return self._fns[key]
         eng = self.eng
@@ -190,6 +192,7 @@ class ShardedEngine:
         from ..engine.gibbs_params import resample_all
         from ..engine.smc import init_row_step
 
+        from ..engine.propose import build_cand
         from ..engine.refresh import batch_obs_delta
 
         incr = eng.config.incremental_refresh
@@ -197,6 +200,10 @@ class ShardedEngine:
         def local(arenas, params, base, keys):  # all replicated in-shard
             me = jax.lax.axis_index("data")
             relc = refresh(cm, arenas, eng.obs_dev)
+            # identical deterministic candidate lists on every shard
+            # (stable argsort over the replicated snapshot), so per-row
+            # results stay bitwise equal to the single-device program
+            cand = build_cand(cm, relc, kc) if kc else None
 
             def body(carry, i):
                 arenas, params, rel = carry
@@ -207,7 +214,8 @@ class ShardedEngine:
                     rel = refresh(cm, arenas, eng.obs_dev)
                 env2, ok, birthy = jax.vmap(
                     lambda s, k: init_row_step(eng, cid, arenas, rel, params,
-                                               s, k, s < num_rows))(ls, bkeys)
+                                               s, k, s < num_rows,
+                                               cand=cand))(ls, bkeys)
                 old = arenas
                 arenas = _scatter_apply(cm, cid, arenas, ls, env2, ok,
                                         mark_alive=True, axis="data")
