@@ -181,6 +181,8 @@ class BlockTracer:
         # enumerates 4,097 County slots with ~67 alive, hospital 513 with
         # ~55 — the compact axis removes that 8-60x waste.
         self.cand = cand or {}
+        # sibling-fusion frames for deferred one-hot obs terms (_mm_flush)
+        self._mm_frames: list[list] = []
 
     def _unif(self):
         """Next uniform from the per-block pool (sample pass only)."""
@@ -276,9 +278,12 @@ class BlockTracer:
 
     # one-hot-matmul scoring: cap on the virtual [V_obs, *axes] score table
     _MM_MAX_CELLS = 4_000_000
-    # ablation toggle (PCLEAN_MM=0 disables the matmul path)
+    # ablation toggles (PCLEAN_MM=0 disables the matmul path entirely;
+    # PCLEAN_MM_FUSE=0 keeps per-column matmuls but disables the
+    # sibling-group fusion deferral)
     import os as _os
     _MM_ENABLED = _os.environ.get("PCLEAN_MM", "1") != "0"
+    _MM_FUSE = _os.environ.get("PCLEAN_MM_FUSE", "1") != "0"
 
     def _matmul_obs_term(self, kern, node: ChoiceNode, vid: VertexID,
                          depth: int, ov):
@@ -321,7 +326,45 @@ class BlockTracer:
             return None  # constant over the enumeration axes: gather is cheaper
         T = jnp.maximum(T, NINF)
         onehot = (jnp.arange(Vo) == ov).astype(T.dtype)
+        if self._MM_FUSE and self._mm_frames:
+            # defer: sibling columns under the same enumeration context
+            # contract as ONE concat(onehot) @ concat(T) matmul at the
+            # frame's flush point (_mm_flush) — one dispatch for the whole
+            # sibling group instead of one per column. The sweeps are
+            # kernel-launch bound (PROFILE.md round 4), so fewer, larger
+            # ops is the lever; the math is unchanged (0 * finite = 0,
+            # NINF is finite, and each one-hot selects one row of its T).
+            self._mm_frames[-1].append((onehot, T))
+            return jnp.zeros((), dtype=T.dtype)
         return jnp.tensordot(onehot, T, axes=1)
+
+    # -------------------------------------------- sibling-fusion frames
+    # A frame spans one enumeration context: every deferred one-hot term
+    # created at the same depth (no intervening logsumexp) is additive at
+    # the frame's flush level, so fusing them into one contraction is
+    # exact. Frames are pushed around each score_plan descent that a
+    # logsumexp will reduce (score_choice's V axis, score_fk's E and N
+    # branches) and at run()'s root.
+
+    def _mm_push(self):
+        self._mm_frames.append([])
+
+    def _mm_flush(self, total):
+        """Contract this frame's deferred one-hot terms into `total`."""
+        frame = self._mm_frames.pop()
+        if not frame:
+            return total
+        groups: dict[tuple, list] = {}
+        for oh, T in frame:
+            groups.setdefault(tuple(T.shape[1:]), []).append((oh, T))
+        for fs in groups.values():
+            if len(fs) == 1:
+                oh, T = fs[0]
+            else:
+                oh = jnp.concatenate([f[0] for f in fs])
+                T = jnp.concatenate([f[1] for f in fs], axis=0)
+            total = total + jnp.tensordot(oh, T, axes=1)
+        return total
 
     def _bcast(self, val, depth: int):
         return jnp.broadcast_to(jnp.asarray(val, dtype=jnp.float32),
@@ -459,7 +502,9 @@ class BlockTracer:
             logits = enum
         self.axes.append(V)
         self.env[vid] = (depth + 1, jnp.arange(V))
-        children = self.score_plan(step.rest, depth + 1, mode, ctx_key)
+        self._mm_push()
+        children = self._mm_flush(
+            self.score_plan(step.rest, depth + 1, mode, ctx_key))
         self.axes.pop()
         total = logits + children
         self.records[(vid, ctx_key)] = total
@@ -486,14 +531,21 @@ class BlockTracer:
 
         self.axes.append(K)
         self.env[vid] = (depth + 1, slot_ids)
-        ch_e = self.score_plan(step.rest, depth + 1, {**mode, vid: "E"},
-                               ctx_key + ((vid, "E"),))
+        self._mm_push()
+        ch_e = self._mm_flush(
+            self.score_plan(step.rest, depth + 1, {**mode, vid: "E"},
+                            ctx_key + ((vid, "E"),)))
         self.axes.pop()
         exist = py_exist + ch_e  # [.., K]
 
         self.env[vid] = (depth, jnp.zeros((), jnp.int32))  # unused in N mode
-        ch_n = self.score_plan(step.rest, depth, {**mode, vid: "N"},
-                               ctx_key + ((vid, "N"),))
+        # the N branch scores at the CALLER's depth but its terms belong to
+        # this fk's "new" logit only — they must not escape to the outer
+        # frame (logsumexp over [exist, new] intervenes)
+        self._mm_push()
+        ch_n = self._mm_flush(
+            self.score_plan(step.rest, depth, {**mode, vid: "N"},
+                            ctx_key + ((vid, "N"),)))
         new = py_new + ch_n
 
         logits = jnp.concatenate(
@@ -864,7 +916,9 @@ class BlockTracer:
         self._root_plan = plan
         k_score, k_sample = jax.random.split(key)
         self._score_keys = _KeyStream(k_score)
-        logZ = self.score_plan(plan, 0, {}, ())
+        self._mm_push()
+        logZ = self._mm_flush(self.score_plan(plan, 0, {}, ()))
+        assert not self._mm_frames, "unbalanced sibling-fusion frames"
         res = self.sample(k_sample)
         return logZ, res
 

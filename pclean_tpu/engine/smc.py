@@ -1042,7 +1042,7 @@ class Engine:
 
             (arenas, params, _), flags = jax.lax.scan(
                 body, (arenas, params, relc),
-                (jnp.arange(seg_b), keys.reshape(seg_b, B, 2)))
+                (jnp.arange(seg_b), keys.reshape((seg_b, B) + keys.shape[1:])))
             return arenas, params, flags.reshape(-1)
 
         sig = "-".join(f"{c}{k}" for c, k in kct)
@@ -1263,7 +1263,7 @@ class Engine:
 
             (arenas, params, _), birthys = jax.lax.scan(
                 body, (arenas, params, relc),
-                (jnp.arange(n_batches), keys.reshape(n_batches, B, 2)))
+                (jnp.arange(n_batches), keys.reshape((n_batches, B) + keys.shape[1:])))
             return arenas, params, birthys.reshape(-1)
 
         caps = {cid: ((cm.layouts[cid].capacity + B - 1) // B) * B
@@ -1361,7 +1361,7 @@ class Engine:
 
             (arenas, params, _), flags = jax.lax.scan(
                 body, (arenas, params, relc),
-                (jnp.arange(seg_b), keys.reshape(seg_b, B, 2)))
+                (jnp.arange(seg_b), keys.reshape((seg_b, B) + keys.shape[1:])))
             return arenas, params, flags.reshape(-1)
 
         sig = "-".join(f"{c}{k}" for c, k in kct)
