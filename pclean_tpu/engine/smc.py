@@ -1472,6 +1472,11 @@ class Engine:
                 # max() is B-dominated).
                 ramp = ((max(B, 2048) + B - 1) // B) * B
                 ramp = ramp if spec.num_rows >= 2 * ramp else 0
+                import os as _os
+                import time as _time
+                _ph = _os.environ.get("PCLEAN_PHASE_TIMING")
+                _t = {"ramp": 0.0, "batched": 0.0, "replay": 0.0}
+                _t0 = _time.time()
                 if ramp:
                     import math
 
@@ -1488,6 +1493,8 @@ class Engine:
                                               jax.random.split(bulk, rseg))
                         done0 += rseg
                     self._sync(arenas, cid)
+                if _ph:
+                    _t["ramp"] = _time.time() - _t0
                 # Replay entity-birthing rows PER SEGMENT, not at the end:
                 # births only materialize through the sequential replay (the
                 # batched pass defers them), so an end-of-pass replay leaves
@@ -1514,23 +1521,36 @@ class Engine:
                             cid, spec.num_rows, B, kc=kc)
                     key, bulk = jax.random.split(key)
                     seg_keys = jax.random.split(bulk, seg_b * B)
+                    _tb = _time.time()
                     arenas, params, fl = run(arenas, params, base,
                                              seg_keys)
                     self._sync(arenas, cid)
                     lo = base * B
                     hi = min((base + seg_b) * B, spec.num_rows)
                     idx = np.flatnonzero(_fetch_np(fl)[: hi - lo]) + lo
+                    if _ph:
+                        _t["batched"] += _time.time() - _tb
                     if idx.size:
+                        _tr = _time.time()
                         arenas = self.replay_rows(cid, arenas, params,
                                                   idx, rkeys, rejuv=False)
                         self._kc_note(idx.size)
                         n_replayed += idx.size
+                        if _ph:
+                            self._sync(arenas, cid)
+                            _t["replay"] += _time.time() - _tr
                     if progress and (hi // progress) != (lo // progress):
                         print(f"Initialized ~{hi} of {spec.num_rows} "
                               f"rows for {cid}")
                 if progress:
                     print(f"Initialized {spec.num_rows} rows for {cid} "
                           f"(batched B={B}, {n_replayed} replayed)")
+                if _ph:
+                    other = (_time.time() - _t0) - sum(_t.values())
+                    print(f"[phase] init[{cid}] ramp={_t['ramp']:.2f}s "
+                          f"batched={_t['batched']:.2f}s "
+                          f"replay={_t['replay']:.2f}s other={other:.2f}s "
+                          f"(replayed={n_replayed})")
                 continue
             B = max(1, cfg.batch_rows)
             bstep = self.batch_init_step(cid) if B > 1 else None
