@@ -1474,7 +1474,8 @@ class Engine:
                 ramp = ramp if spec.num_rows >= 2 * ramp else 0
                 import os as _os
                 import time as _time
-                _ph = _os.environ.get("PCLEAN_PHASE_TIMING")
+                _ph = _os.environ.get("PCLEAN_PHASE_TIMING", "").lower() \
+                    not in ("", "0", "false")
                 _t = {"ramp": 0.0, "batched": 0.0, "replay": 0.0}
                 _t0 = _time.time()
                 if ramp:
