@@ -30,7 +30,9 @@ from .smc import apply_row
 
 
 def propose_row_pg(engine, cid: ClassID, arenas: dict, rel: dict,
-                   params: dict, slot, keys, retained: bool = False):
+                   params: dict, slot, keys, retained: bool = False,
+                   matmul_obs: Optional[bool] = None, cand=None,
+                   ext_hists=None, ref_comp=None):
     """One row's SMC with P = keys.shape[0] particles.
 
     Returns (env_chosen, births(list of Birth), log_ml, accept). With
@@ -38,6 +40,12 @@ def propose_row_pg(engine, cid: ClassID, arenas: dict, rel: dict,
     to the stored row (row_inference.jl:143-145). `accept` is False only
     when the final selection picks the retained particle on the collapsed
     path below (callers then keep the stored row instead of rewriting it).
+
+    matmul_obs=None keeps the path-specific defaults (collapsed sequential:
+    False — a per-row score-table build costs more than the eager gather;
+    vmapped: True — the particle axis amortizes it). The BATCHED PG drivers
+    (scan drivers with pg_P set) pass True explicitly, plus the same
+    cand/ext_hists/ref_comp hoists the MH batched drivers use.
 
     Exact-Gibbs collapse (the VERDICT r2 tractability item): when the
     compile-time audit certifies every weight-bearing node enumerable or
@@ -57,8 +65,9 @@ def propose_row_pg(engine, cid: ClassID, arenas: dict, rel: dict,
         env, births, w = engine._propose(cid, arenas, rel, params, slot,
                                          keys[min(1, P_ - 1)],
                                          force_retained=False,
-                                         matmul_obs=False)  # sequential: no
-        # batch/particle vmap to amortize the score-table build over
+                                         matmul_obs=bool(matmul_obs),
+                                         cand=cand, ext_hists=ext_hists,
+                                         ref_comp=ref_comp)
         if retained:
             # uniform selection over P equally weighted particles: the
             # retained particle (index 0) survives with probability 1/P
@@ -69,6 +78,7 @@ def propose_row_pg(engine, cid: ClassID, arenas: dict, rel: dict,
         return env, births, w, accept
     c = cm.cls(cid)
     P = int(keys.shape[0])
+    mm = True if matmul_obs is None else matmul_obs
     obs_row = engine._obs_row_slices(cid, slot, rel)
     # (fk_vid, target_class) per birth record, in tracer append order;
     # deterministic per block, captured once at first trace of each block
@@ -76,7 +86,9 @@ def propose_row_pg(engine, cid: ClassID, arenas: dict, rel: dict,
 
     def block_fn(bi, plan, env0, key, force):
         tr = BlockTracer(cm, cid, arenas, rel, params, engine.obs_dev,
-                         obs_row, env0, slot, force_retained=force)
+                         obs_row, env0, slot, force_retained=force,
+                         matmul_obs=mm, cand=cand, ext_hists=ext_hists,
+                         ref_comp=ref_comp)
         logZ, res = tr.run(plan, key)
         if bi not in statics:
             statics[bi] = [(b.fk_vid, b.target_class) for b in res.births]
@@ -143,6 +155,43 @@ def propose_row_pg(engine, cid: ClassID, arenas: dict, rel: dict,
                             {k: v[j] for k, v in d["values"].items()}))
     log_ml = log_ml + logsumexp(ws) - jnp.log(float(P))
     return env, births, log_ml, jnp.asarray(True)
+
+
+def pg_row_step(eng, cid: ClassID, arenas: dict, rel: dict, params: dict,
+                s, k, valid, P: int, retained: bool, ext_hists=None,
+                ref_comp=None, cand=None):
+    """One row's P-particle SMC decision against a (possibly frozen)
+    relational snapshot — the PG twin of smc.mh_row_step, shaped for the
+    batched scan drivers' row vmap (VERDICT r4 item 1: the PG drivers never
+    got the batch-axis treatment that made MH fast; this is it).
+
+    retained=True runs CSMC (particle 1 retained, categorical final
+    selection — row_inference.jl:143-145,164); False is fresh-row SMC init.
+    Per-row self-exclusion from the frozen snapshot matches mh_row_step
+    (unincorporate_row!, row_inference.jl:119-126). Rows whose winning
+    particle births fresh latent entities are deferred to sequential
+    replay, exactly like the MH batched contract.
+
+    Returns (env, accept&~birthy, birthy&alive&valid, log_ml)."""
+    cm = eng.cm
+    if retained and eng.config.batch_self_exclude:
+        from .refresh import latent_row_delta, row_delta
+        if cm.layouts[cid].observed:
+            rel = row_delta(cm, rel, arenas, eng.obs_dev, cid, s, -1,
+                            dense=True)
+        elif cm.layouts[cid].fk_vertices:
+            rel = latent_row_delta(cm, rel, arenas, cid, s, -1, dense=True)
+    pkeys = jax.random.split(k, P)
+    env, births, lml, acc = propose_row_pg(
+        eng, cid, arenas, rel, params, s, pkeys, retained=retained,
+        matmul_obs=True, cand=cand, ext_hists=ext_hists, ref_comp=ref_comp)
+    alive = arenas[cid]["alive"][s] if cm.layouts[cid].observed \
+        else rel[cid]["alive"][s]
+    alive = (alive & valid) if retained else valid
+    birthy = jnp.zeros((), bool)
+    for b in births:
+        birthy = birthy | b.is_new
+    return env, acc & alive & ~birthy, birthy & alive, lml
 
 
 def pg_init_step(engine, cid: ClassID, num_particles: int):

@@ -1,15 +1,28 @@
-"""BASELINE.md 1,024-particle measurements (VERDICT r3 item 5).
+"""BASELINE.md 1,024-particle measurements (VERDICT r3 item 5, r4 item 1).
 
-(a) hospital-100k with 1,024 particles — the exact-Gibbs COLLAPSED path
-    (collapse_exact_pg: one enumeration per row regardless of P, exact
-    log-ML; engine/particles.py).
+(a) hospital-100k with 1,024 particles — exact-Gibbs COLLAPSED path,
+    routed through the B-row batched PG drivers (round 5: pg_row_step
+    inside scan_init_batched/scan_sweep_class_batched), so P=1024 costs
+    what the MH batched sweep costs.
 (b) hospital-1k with P in {16, 64} and the collapse DISABLED — times the
     real vmapped particle path (the one every audit-failing model uses;
-    reference semantics row_inference.jl:143-165).
+    reference semantics row_inference.jl:143-165), batched (B x P
+    enumerations per dispatch) and, for comparison, the round-4
+    row-sequential form (batch=1).
+(c) equal-P collapsed-vs-vmapped F1 on the same workload/seed set — the
+    distributional-equivalence record (VERDICT r4 weak 2; the in-suite pin
+    is tests/test_pg_batched.py).
 
-Appends one JSON line per run to bench_results/pg_runs.jsonl.
+Appends one JSON line per run to bench_results/pg_runs.jsonl. `log_ml` is
+Engine.log_ml — the SMC initialization log-marginal-likelihood estimate of
+THAT run's path (collapsed: sum of block logZs; vmapped: logsumexp-mean of
+particle weights + inter-block resampling terms; batched: ramp + batched +
+replayed rows, each row once). On audit-passing models the two estimators
+agree whenever the sampled chains coincide (peaked posteriors), so similar
+values across paths are expected — equality is asserted exactly on a
+latent-free model in tests/test_pg_batched.py.
 
-Usage (TPU): python scripts/pg_measurements.py [--which a,b]
+Usage (TPU): python scripts/pg_measurements.py [--which a,b,c]
 """
 from __future__ import annotations
 
@@ -26,7 +39,7 @@ sys.path.insert(0, os.path.join(REPO, "experiments"))
 OUT = os.path.join(REPO, "bench_results", "pg_runs.jsonl")
 
 
-def run(tag, **kw):
+def run(tag, seed=0, **kw):
     import jax
 
     import hospital
@@ -37,11 +50,11 @@ def run(tag, **kw):
 
     cm, config, dirty, clean, query, sweeps = hospital.setup(**kw)
     eng = Engine(cm, config)
-    arenas, params = init_state(cm, jax.random.PRNGKey(0))
+    arenas, params = init_state(cm, jax.random.PRNGKey(seed))
     device_sync(params)
     t0 = time.time()
-    arenas, params, key = eng.initialize(jax.random.PRNGKey(1), arenas,
-                                         params)
+    arenas, params, key = eng.initialize(jax.random.PRNGKey(seed + 1),
+                                         arenas, params)
     device_sync(arenas)
     t_init = time.time() - t0
     t1 = time.time()
@@ -50,8 +63,11 @@ def run(tag, **kw):
     t_sweep = time.time() - t1
     res = evaluate_accuracy_device(cm, arenas, params, dirty, clean, query)
     n = len(next(iter(dirty.values())))
-    rec = {"tag": tag, "rows": n, "config": {k: v for k, v in kw.items()},
-           "collapsed": eng.exact_accept and eng.config.collapse_exact_pg,
+    collapsed = eng.exact_accept and eng.config.collapse_exact_pg
+    rec = {"tag": tag, "rows": n, "seed": seed,
+           "config": {k: v for k, v in kw.items()},
+           "path": ("collapsed" if collapsed else "vmapped")
+           + ("-batched" if config.batch_rows > 1 else "-sequential"),
            "f1": round(res["f1"], 4),
            "init_sec": round(t_init, 2), "sweep_sec": round(t_sweep, 2),
            "rows_per_sec": round(n / (t_init + t_sweep), 2),
@@ -59,6 +75,7 @@ def run(tag, **kw):
     with open(OUT, "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec), flush=True)
+    return rec
 
 
 def main():
@@ -75,13 +92,26 @@ def main():
             run("smoke_b", rows=60, particles=4, collapse_exact_pg=False)
         return
     if "a" in which:
-        # BASELINE.md: hospital scaled to 100k rows, 1,024 particles
-        run("hospital_100k_p1024_collapsed", repeat=100, particles=1024)
+        # BASELINE.md: hospital scaled to 100k rows, 1,024 particles —
+        # batched collapsed PG (VERDICT r4 item 1 target: >= 2,000 rows/s)
+        run("hospital_100k_p1024_collapsed_b4096", repeat=100,
+            particles=1024, batch=4096)
     if "b" in which:
-        # the full vmapped particle path, collapse forced off
+        # the full vmapped particle path, collapse forced off:
+        # batched (round 5) vs the round-4 row-sequential form
         for P in (16, 64):
-            run(f"hospital_1k_p{P}_vmapped", particles=P,
+            run(f"hospital_1k_p{P}_vmapped_b64", particles=P, batch=64,
                 collapse_exact_pg=False)
+        run("hospital_1k_p16_vmapped_seq", particles=16,
+            collapse_exact_pg=False)
+    if "c" in which:
+        # equal-P collapsed vs vmapped on identical workload/seeds
+        # (distributional F1 match expected on this audit-passing model)
+        for seed in (0, 1, 2):
+            run("hospital_1k_p16_collapsed_b64_eqp", seed=seed,
+                particles=16, batch=64)
+            run("hospital_1k_p16_vmapped_b64_eqp", seed=seed,
+                particles=16, batch=64, collapse_exact_pg=False)
 
 
 if __name__ == "__main__":
