@@ -183,6 +183,12 @@ def main():
     import rents
     import scaled
 
+    # PCLEAN_BENCH_SET=name1,name2 restricts the run to those workloads
+    # (rotation hook: lets a budget-capped driver still capture the long
+    # configs across rounds). Default: all, in the fixed order below.
+    only = {s for s in os.environ.get("PCLEAN_BENCH_SET", "").split(",")
+            if s}
+
     def attempt(name, setup_fn, obs_class, min_budget, warm, **kw):
         """Run one workload; record its result (or error) incrementally.
 
@@ -190,6 +196,8 @@ def main():
         remain — better an explicit skip than a half-run the watchdog
         truncates.  The warm pass is dropped first when budget is tight.
         """
+        if only and name not in only:
+            return
         rem = _remaining()
         if rem < min_budget:
             _log(f"{name}: skipped ({rem:.0f}s left < {min_budget}s needed)")
@@ -229,6 +237,14 @@ def main():
     # (collapse_exact_pg): see bench_results/.
     attempt("hospital_100k", hospital.setup, "Record", min_budget=200,
             warm=True, repeat=100, batch=4096)
+    # BASELINE.md's 1,024-particle config, driver-visible (VERDICT r4
+    # item 1): collapsed-exact PG routed through the batched drivers
+    # (pg_row_step), so P=1024 costs ~what the MH batched sweep costs.
+    # Runs right after hospital_100k so the shared setup data is hot;
+    # programs differ from MH's (separate AOT artifacts).
+    attempt("hospital_100k_pg1024", hospital.setup, "Record",
+            min_budget=150, warm=True, repeat=100, batch=4096,
+            particles=1024)
     attempt("flights", flights.setup, "Obs", min_budget=90, warm=True)
     # rents at B=256 blocked Gibbs: F1 by batch over seeds 0/1/2
     # (scripts/batch_bias_results.jsonl 2026-08-19): B=1 0.689/0.682/0.683,
@@ -237,16 +253,17 @@ def main():
     # co-reference blindness bounded), so the throughput config is clean.
     attempt("rents", rents.setup, "Obs", min_budget=150, warm=True,
             batch=256)
-    # BASELINE.md 1M-row scaled config, budget-permitting fifth workload
-    # (VERDICT r3 item 2): single chip; the N>=2-host version of the same
-    # model is exercised by dryrun_multichip + the multihost tests. Runs
-    # unwarmed — program loads amortize into its init_sec. Measured
-    # 2026-08-19 (bench_results/scaled_1m_20260819.json): F1 0.9630 at
-    # 1,113 rows-cleaned/s (1,797 s) at B=256; min_budget is sized so the
-    # run only starts when it can finish — under the default 1200 s budget
-    # it records a clean skip marker and the committed JSON is the record.
-    attempt("scaled_1m", scaled.setup, "Record", min_budget=1900, warm=False,
-            rows=1_000_000, batch=256)
+    # BASELINE.md 1M-row scaled config (VERDICT r4 item 2: driver-visible,
+    # not min_budget-gated out of existence): B=4096 blocked Gibbs +
+    # candidate compaction + batched birth allocation — the levers that
+    # took hospital-100k to ~10k rows/s, ported. Single chip; the
+    # N>=2-host version of the same model is exercised by dryrun_multichip
+    # + the multihost tests. Runs unwarmed — program loads amortize into
+    # its init_sec. min_budget reflects the measured round-5 cost (see
+    # bench_results/), small enough to fit the default 1200 s budget after
+    # the four bundled workloads.
+    attempt("scaled_1m", scaled.setup, "Record", min_budget=500, warm=False,
+            rows=1_000_000, batch=4096)
 
     try:
         import jax

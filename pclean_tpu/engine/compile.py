@@ -199,15 +199,50 @@ def _auto_capacities(cm: CompiledModel, datasets) -> dict:
                 fk = cm.node(cur_cid, sub.fk_id)
                 cur_cid, cur_vid = fk.target_class, sub.sub_id
                 col_sets.setdefault(cur_cid, {}).setdefault(di, []).append(col)
+    import os
+    import warnings
+
     out: dict[ClassID, int] = {}
     for cid, per_ds in col_sets.items():
         n = 0
+        vocab_cells = 0
         for di, cols in per_ds.items():
             data = datasets[di].columns()
-            tuples = {t for t in zip(*(data[c] for c in sorted(set(cols))))
+            cols_u = sorted(set(cols))
+            tuples = {t for t in zip(*(data[c] for c in cols_u))
                       if any(v is not None for v in t)}
             n += len(tuples)
-        out[cid] = ((int(n * 1.5) + 16 + 63) // 64) * 64
+            vocab_cells += sum(len({v for v in data[c] if v is not None})
+                               for c in cols_u)
+        cap = ((int(n * 1.5) + 16 + 63) // 64) * 64
+        # HBM-budget cap (VERDICT r4 item 8): the engine hoists per-slot
+        # referrer observation histograms of roughly [cap, V] floats per
+        # observed column landing on this class (propose.referrer_
+        # histograms), so an auto capacity of C slots costs ~4*C*sum(V)
+        # bytes of loop-invariant device state. The scaled-1M first
+        # attempt auto-sized Hospital to 109,952 slots against ~10k total
+        # vocab — a ~4.4 GB hoist that OOM-killed the TPU worker. Cap the
+        # AUTO size so that cost stays within a fixed budget (default
+        # 800 MB, ~5% of a v5e's HBM; PCLEAN_AUTO_CAP_HBM overrides) and
+        # degrade LOUDLY — the arena-pressure warnings at run time then
+        # surface any forced merges. Explicit `capacities` entries are
+        # never capped: a user stating their scale wins.
+        budget = float(os.environ.get("PCLEAN_AUTO_CAP_HBM", 8e8))
+        if vocab_cells:
+            cap_max = max(64, int(budget / (4 * vocab_cells)) // 64 * 64)
+            if cap > cap_max:
+                warnings.warn(
+                    f"pclean_tpu: auto capacity for latent class '{cid}' "
+                    f"({cap} slots from {n} distinct joint signatures) "
+                    f"exceeds the HBM hoist budget ({budget / 1e9:.1f} GB "
+                    f"at ~{4 * vocab_cells} B/slot); capping to {cap_max}. "
+                    "Distinct-signature counts over-count entities when "
+                    "typo variants multiply across columns — pass an "
+                    "explicit capacities={...} with the true entity scale "
+                    "(uncapped), or raise PCLEAN_AUTO_CAP_HBM.",
+                    RuntimeWarning, stacklevel=3)
+                cap = cap_max
+        out[cid] = cap
     return out
 
 

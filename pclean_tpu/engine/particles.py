@@ -145,6 +145,8 @@ def propose_row_pg(engine, cid: ClassID, arenas: dict, rel: dict,
             birthss = [jax.tree.map(lambda x: x[sel], b) for b in birthss]
             ws = jnp.where(do, jnp.zeros_like(ws), ws)
 
+    if getattr(engine, "_pg_debug", None) is not None:
+        engine._pg_debug.append(ws)  # eager-probe hook (tests/scripts only)
     jkey = jax.random.fold_in(keys[0], 999)
     j = jax.random.categorical(jkey, ws)
     env = jax.tree.map(lambda x: x[j], envs)

@@ -77,6 +77,14 @@ class Birth:
     is_new: Any  # traced bool
     slot: Any  # traced int: allocated (or re-used retained) slot
     values: dict[VertexID, Any]  # target-class vertex -> traced value
+    # static nesting depth: 0 = birthed directly by the proposing row;
+    # >0 = birthed inside an enclosing fresh birth's "new" branch (its
+    # is_new already implies every enclosing is_new via the sample gate).
+    # The batched birth allocator (smc.scan_init_batched) allocates
+    # depth-0 births in-batch and defers rows with effective nested
+    # births to sequential replay (chained births reference each other's
+    # placeholder slots — SURVEY §7 hard-part 1).
+    depth: int = 0
 
 
 @dataclass
@@ -1076,9 +1084,11 @@ class BlockTracer:
         st.env2[vid] = final
         outer_gate = st.gate
         st.gate = st.gate & is_new
+        st.fk_depth += 1
         for ch in step.rest.steps:
             self.sample_step(ch, st, anc, {**mode, vid: "N"},
                              ctx_key + ((vid, "N"),))
+        st.fk_depth -= 1
         st.gate = outer_gate
         for w in self._subtree_vids(step):
             if w in exist_vals and w in st.env2:
@@ -1097,7 +1107,8 @@ class BlockTracer:
             sv = vmap.get(tv)
             if sv is not None and sv in st.env2:
                 values[tv] = st.env2[sv]
-        st.births.append(Birth(vid, tc, effective_new, slot, values))
+        st.births.append(Birth(vid, tc, effective_new, slot, values,
+                               depth=st.fk_depth))
         return
 
     def _subtree_vids(self, step: Step) -> list[VertexID]:
@@ -1168,6 +1179,7 @@ class _SampleState:
         self.alive2 = alive2
         self.extra_w = extra_w
         self.gate = jnp.asarray(True)  # conjunction of enclosing is_new flags
+        self.fk_depth = 0  # static: nesting depth inside fresh-birth branches
 
 
 class _KeyStream:

@@ -129,6 +129,19 @@ class InferenceConfig:
     # refresh exactly — tests/test_incremental.py); False forces the
     # recompute-per-row path.
     incremental_refresh: bool = True
+    # Allocate fresh-entity births INSIDE the batched init scan (VERDICT r4
+    # item 5 / SURVEY §7 hard-part 1): depth-0 births are deduped by
+    # hashing their sampled values (value-identical fresh entities within a
+    # batch merge onto one slot — what the sequential path achieves via the
+    # CRP seeing earlier rows' births), group leaders take free slots, and
+    # referring rows' fk values are rewritten — removing the sequential
+    # replay for the common single-level case. CHAINED births (a fresh row
+    # referencing another fresh row, e.g. a new Hospital in a new County)
+    # still defer to exact sequential replay, as do births overflowing the
+    # free-slot pool. Single-device drivers only: the sharded driver keeps
+    # defer-to-replay (cross-shard dedupe would need collective hashing),
+    # so set False when comparing sharded vs single-device runs bitwise.
+    batch_birth: bool = True
 
 
 def _fetch_np(x) -> np.ndarray:
@@ -282,6 +295,112 @@ def init_row_step(eng, cid: ClassID, arenas: dict, rel: dict, params: dict,
     return env2, valid & ~birthy, birthy
 
 
+def init_row_step_alloc(eng, cid: ClassID, arenas: dict, rel: dict,
+                        params: dict, s, k, valid, statics: list, cand=None):
+    """init_row_step variant for the in-batch birth allocator: returns the
+    per-birth traced leaves so the batched driver can allocate depth-0
+    births without the sequential replay. `statics` is filled at first
+    trace with the static (fk_vid, target_class, depth) per birth site
+    (deterministic tracer append order, deepest-first).
+
+    Returns (env2, birthy, chained, traced_births, w)."""
+    env2, births, w = eng._propose(cid, arenas, rel, params, s, k,
+                                   force_retained=False, cand=cand)
+    if not statics:
+        statics.extend((b.fk_vid, b.target_class, b.depth) for b in births)
+    birthy = jnp.zeros((), bool)
+    chained = jnp.zeros((), bool)
+    for b in births:
+        birthy = birthy | b.is_new
+        if b.depth > 0:
+            # a nested birth's is_new already implies its enclosing
+            # births' is_new (the sample gate) — this row's fresh rows
+            # reference each other's placeholder slots, so it must replay
+            chained = chained | b.is_new
+    traced = [{"is_new": b.is_new, "values": b.values} for b in births]
+    return env2, birthy & valid, chained & valid, traced, w
+
+
+def _alloc_births(cm: CompiledModel, arenas: dict, rel: dict, env2: dict,
+                  births: list, statics: list, alloc_rows):
+    """In-batch allocation of depth-0 fresh births for a B-row batch
+    (VERDICT r4 item 5; reference birth semantics dependency_tracking.jl:
+    210-225 are inherently sequential — this is the blocked-Gibbs
+    equivalent). Value-identical fresh entities within the batch merge:
+    rows are grouped by a double 32-bit hash of the birth's sampled
+    target-class values (a hash collision merely merges two distinct-
+    valued entities, which the next rejuvenation sweep can split — same
+    corrective family as every blocked approximation here), group leaders
+    take free slots dead-first from the working alive mask, member rows'
+    fk values are rewritten to the leader slot, and leader values are
+    scattered into the target arenas. Rows whose group overflows the free
+    pool are returned for sequential replay.
+
+    Returns (arenas, env2, overflow[B])."""
+    B = int(alloc_rows.shape[0])
+    out = dict(arenas)
+    env2 = dict(env2)
+    overflow = jnp.zeros((B,), bool)
+    alive_work: dict = {}
+    for (fk_vid, tc, depth), d in zip(statics, births):
+        if depth > 0:
+            continue
+        lay = cm.layouts[tc]
+        cap = lay.capacity
+        if tc not in alive_work:
+            alive_work[tc] = rel[tc]["alive"]
+        m = d["is_new"] & alloc_rows
+        # FNV-1a-style double hash over the sampled values (two
+        # independent 32-bit streams; 4096-row batches make a same-(h1,h2)
+        # collision ~2^-40 per pair)
+        h1 = jnp.full((B,), 2166136261, jnp.uint32)
+        h2 = jnp.full((B,), 0x9E3779B9, jnp.uint32)
+        for tv in sorted(d["values"]):
+            v = jnp.asarray(d["values"][tv])
+            if jnp.issubdtype(v.dtype, jnp.floating):
+                iv = jax.lax.bitcast_convert_type(v.astype(jnp.float32),
+                                                  jnp.uint32)
+            else:
+                iv = v.astype(jnp.uint32)
+            h1 = (h1 ^ iv) * jnp.uint32(16777619)
+            h2 = ((h2 + iv) ^ (h2 >> 13)) * jnp.uint32(0x85EBCA6B)
+        # birth rows sort by h1 (grouped); non-birth rows sort LAST as
+        # per-row singletons, so birth-group ranks are contiguous from 0
+        key1 = jnp.where(
+            m, (h1 >> jnp.uint32(1)).astype(jnp.uint32),
+            jnp.uint32(1 << 31) | jnp.arange(B, dtype=jnp.uint32))
+        order = jnp.argsort(key1)
+        k1s, k2s, ms = key1[order], h2[order], m[order]
+        newgrp = jnp.concatenate(
+            [jnp.ones((1,), bool),
+             (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])])
+        grank = jnp.cumsum(newgrp.astype(jnp.int32)) - 1
+        free_order = jnp.argsort(alive_work[tc].astype(jnp.int32))
+        nfree = jnp.sum((~alive_work[tc]).astype(jnp.int32))
+        ok_grp = (grank < nfree) & ms
+        slot_sorted = free_order[
+            jnp.minimum(grank, cap - 1)].astype(jnp.int32)
+        slot_row = jnp.zeros((B,), jnp.int32).at[order].set(slot_sorted)
+        ok_row = jnp.zeros((B,), bool).at[order].set(ok_grp)
+        leader_row = jnp.zeros((B,), bool).at[order].set(newgrp & ok_grp)
+        overflow = overflow | (m & ~ok_row)
+        wslot = jnp.where(leader_row, slot_row, cap)  # cap = dropped
+        vals = dict(out[tc]["values"])
+        for tv, dt in lay.store.items():
+            if tv not in d["values"]:
+                continue
+            cur = vals[tv]
+            nv = jnp.asarray(d["values"][tv]).astype(cur.dtype)
+            vals[tv] = cur.at[wslot].set(nv, mode="drop")
+        out[tc] = {"values": vals, "alive": out[tc]["alive"]}
+        if fk_vid in env2:
+            env2[fk_vid] = jnp.where(m & ok_row, slot_row,
+                                     env2[fk_vid])
+        # consume the slots so later sites (and the free list) don't reuse
+        alive_work[tc] = alive_work[tc].at[wslot].set(True, mode="drop")
+    return out, env2, overflow
+
+
 def _setup_compilation_cache():
     """Persistent XLA cache: the per-(class, block) programs are identical
     across runs of the same model, so re-runs skip compilation entirely."""
@@ -330,6 +449,10 @@ class Engine:
         # compile time (compile._audit_exact_gibbs)
         self.exact_accept = config.exact_gibbs_accept and \
             getattr(cm, "exact_gibbs_ok", True)
+        # in-batch birth allocation is single-device only (the sharded
+        # driver keeps defer-to-replay; cross-shard dedupe would need
+        # collective hashing) — see InferenceConfig.batch_birth
+        self.batch_birth = config.batch_birth and self.sharded is None
         self._aot = AotCache(
             cm, extra=f"-r{config.rejuv_frequency}-e{int(self.exact_accept)}")
         self._resample = jax.jit(
@@ -789,6 +912,70 @@ class Engine:
         self._rejuv_step_fns[ck] = run
         return run
 
+    def _replay_alloc_step(self, cid: ClassID, R: int):
+        """Jitted: ONE batched init pass over up to R deferred (entity-
+        birthing) row slots with IN-BATCH birth allocation (VERDICT r4
+        item 5). Runs at segment boundaries where the old path scanned the
+        rows sequentially: the full candidate axis (cand=None) over the
+        entry refresh sees every prior birth, value-identical fresh births
+        within the chunk dedupe onto one slot (_alloc_births), and only
+        CHAINED births (fresh row referencing another fresh row) or
+        free-pool overflow remain for the exact sequential replay.
+
+        Returns (arenas, still[R]) — still marks rows needing sequential
+        replay."""
+        ck = ("replay_alloc", cid, R)
+        if ck in self._rejuv_step_fns:
+            return self._rejuv_step_fns[ck]
+        cm = self.cm
+        cap = cm.layouts[cid].capacity
+        statics: list = []
+
+        def run(arenas, params, slots, keys_all):  # slots [R], pad = cap
+            rel = refresh(cm, arenas, self.obs_dev)
+            keys = keys_all[jnp.minimum(slots, cap - 1)]
+            valid = slots < cap
+            env2, birthy, chained, tb, _w = jax.vmap(
+                lambda s, k, v: init_row_step_alloc(
+                    self, cid, arenas, rel, params, s, k, v,
+                    statics))(slots, keys, valid)
+            arenas2, env2, overflow = _alloc_births(
+                cm, arenas, rel, env2, tb, statics, birthy & ~chained)
+            still = chained | overflow
+            ok = valid & ~still
+            arenas = _apply_batch(cm, cid, arenas2, slots, env2, ok,
+                                  mark_alive=True)
+            return arenas, still
+
+        run = self._program(f"replay_alloc{R}_{cid}", run)
+        self._rejuv_step_fns[ck] = run
+        return run
+
+    def replay_rows_alloc(self, cid: ClassID, arenas, params, idx, keys_all,
+                          chunk: int = 1024):
+        """Batched-allocation replay of deferred init rows: chunks of
+        `chunk` rows, ONE dispatch each (vs the sequential scan's per-row
+        device time). Cross-chunk entity visibility comes from each
+        chunk's entry refresh; within-chunk duplicates dedupe in
+        _alloc_births. Returns (arenas, remaining_idx) with remaining_idx
+        the chained/overflow rows for exact sequential replay."""
+        n = len(idx)
+        if n == 0:
+            return arenas, idx
+        cap = self.cm.layouts[cid].capacity
+        run = self._replay_alloc_step(cid, chunk)
+        remaining = []
+        for i in range(0, n, chunk):
+            part = np.asarray(idx[i:i + chunk], np.int32)
+            orig = part
+            if part.size < chunk:
+                part = np.concatenate(
+                    [part, np.full(chunk - part.size, cap, np.int32)])
+            arenas, still = run(arenas, params, jnp.asarray(part), keys_all)
+            st = _fetch_np(still)[: orig.size]
+            remaining.extend(int(s) for s in orig[st])
+        return arenas, np.asarray(remaining, np.int32)
+
     def replay_rows(self, cid: ClassID, arenas, params, idx, keys_all,
                     rejuv: bool, chunk: int = 128,
                     pg_P: Optional[int] = None):
@@ -1075,6 +1262,15 @@ class Engine:
                                                  cand=cand))(slots, bkeys)
                     lml_tot = lml_tot + jnp.sum(jnp.where(ok, lml, 0.0))
                 else:
+                    # births stay deferred to the segment boundary: the
+                    # compact candidate axes and Kc cache rely on the live
+                    # set only SHRINKING mid-segment (a mid-segment birth
+                    # would be invisible to later batches' enumerations and
+                    # the same entity would re-birth once per batch —
+                    # measured as a rents F1 0.68 -> 0.60 regression).
+                    # The boundary replay allocates them BATCHED via
+                    # replay_alloc_step (in-batch dedupe + full candidate
+                    # axis), so deferral no longer costs a sequential scan.
                     env2, ok, birthy = jax.vmap(
                         lambda s, k: init_row_step(self, cid, arenas, rel,
                                                    params, s, k,
@@ -1489,11 +1685,17 @@ class Engine:
         # the entity arenas so batched segments replay little.
         # ramp length is a measured trade: longer ramps pay
         # sequential per-row cost, shorter ones push undiscovered
-        # entities into the (also sequential, costlier-per-row)
-        # replay. 2048 beat 512 on rents-50k (init 14.6 s vs
-        # 22.4 s); hospital-100k at B>=2048 is unaffected (the
-        # max() is B-dominated).
-        ramp = ((max(B, 2048) + B - 1) // B) * B
+        # entities into the replay. With the BATCHED-allocation replay
+        # (replay_rows_alloc: one dispatch per 1024 deferred rows,
+        # in-batch dedupe) a big replay set is cheap, so the ramp
+        # shrinks to one ~512-row seeding pass (it still exists: the
+        # first replay chunk would otherwise birth one entity per typo
+        # variant before any posterior mass concentrates). Without the
+        # allocator (batch_birth=False / PG), replay is the sequential
+        # scan and the round-4 2048-row ramp trade stands (2048 beat
+        # 512 on rents-50k: init 14.6 s vs 22.4 s).
+        base_ramp = 512 if (self.batch_birth and not pg_P) else 2048
+        ramp = ((max(B, base_ramp) + B - 1) // B) * B
         ramp = ramp if spec.num_rows >= 2 * ramp else 0
         import os as _os
         import time as _time
@@ -1567,11 +1769,19 @@ class Engine:
                 _t["batched"] += _time.time() - _tb
             if idx.size:
                 _tr = _time.time()
-                arenas = self.replay_rows(cid, arenas, params,
-                                          idx, rkeys, rejuv=False,
-                                          pg_P=pg_P)
-                self._kc_note(idx.size)
-                n_replayed += idx.size
+                n_total = idx.size
+                if self.batch_birth and not pg_P:
+                    # batched-allocation replay first (one dispatch per
+                    # 1024 deferred rows); only chained/overflow rows
+                    # fall through to the exact sequential scan
+                    arenas, idx = self.replay_rows_alloc(
+                        cid, arenas, params, idx, rkeys)
+                if len(idx):
+                    arenas = self.replay_rows(cid, arenas, params,
+                                              idx, rkeys, rejuv=False,
+                                              pg_P=pg_P)
+                self._kc_note(n_total)
+                n_replayed += n_total
                 if _ph:
                     self._sync(arenas, cid)
                     _t["replay"] += _time.time() - _tr

@@ -23,7 +23,11 @@ from pclean_tpu.parallel import make_mesh
 
 
 def run_one(cm, B, seed, mesh=None):
-    cfg = InferenceConfig(num_iters=1, batch_rows=B, rejuv_frequency=16)
+    # batch_birth=False: in-batch birth allocation is a single-device
+    # feature (the sharded driver defers births to replay), so bitwise
+    # comparison requires both sides on the defer-to-replay path
+    cfg = InferenceConfig(num_iters=1, batch_rows=B, rejuv_frequency=16,
+                          batch_birth=False)
     eng = Engine(cm, cfg, mesh=mesh)
     arenas, params = init_state(cm, jax.random.PRNGKey(seed))
     arenas, params, key = eng.initialize(jax.random.PRNGKey(seed + 1),
