@@ -279,19 +279,23 @@ def mh_row_step(eng, cid: ClassID, arenas: dict, rel: dict, params: dict,
 
 
 def init_row_step(eng, cid: ClassID, arenas: dict, rel: dict, params: dict,
-                  s, k, valid, ext_hists=None, cand=None):
+                  s, k, valid, ext_hists=None, cand=None,
+                  want_w: bool = False):
     """One fresh row's SMC-init proposal against a frozen snapshot; rows that
     would birth latent entities are deferred (returned flagged) so entity
     creation stays exact under batching. Shared by single-device and sharded
     batched initialization.
 
-    Returns (env2, ok, birthy)."""
-    env2, _w, births = eng._propose_packed(cid, arenas, rel, params, s, k,
-                                           False, cand=cand)
+    Returns (env2, ok, birthy) — plus the proposal weight (sum of block
+    logZs, the collapsed-PG per-row log-ML) when want_w."""
+    env2, w, births = eng._propose_packed(cid, arenas, rel, params, s, k,
+                                          False, cand=cand)
     birthy = jnp.zeros((), bool)
     for b in births:
         birthy = birthy | b["is_new"]
     birthy = birthy & valid
+    if want_w:
+        return env2, valid & ~birthy, birthy, w
     return env2, valid & ~birthy, birthy
 
 
@@ -935,7 +939,7 @@ class Engine:
             rel = refresh(cm, arenas, self.obs_dev)
             keys = keys_all[jnp.minimum(slots, cap - 1)]
             valid = slots < cap
-            env2, birthy, chained, tb, _w = jax.vmap(
+            env2, birthy, chained, tb, w = jax.vmap(
                 lambda s, k, v: init_row_step_alloc(
                     self, cid, arenas, rel, params, s, k, v,
                     statics))(slots, keys, valid)
@@ -945,20 +949,24 @@ class Engine:
             ok = valid & ~still
             arenas = _apply_batch(cm, cid, arenas2, slots, env2, ok,
                                   mark_alive=True)
-            return arenas, still
+            # applied rows' summed proposal weight = their collapsed-PG
+            # log-ML contribution (callers ignore it in MH mode)
+            return arenas, still, jnp.sum(jnp.where(ok, w, 0.0))
 
         run = self._program(f"replay_alloc{R}_{cid}", run)
         self._rejuv_step_fns[ck] = run
         return run
 
     def replay_rows_alloc(self, cid: ClassID, arenas, params, idx, keys_all,
-                          chunk: int = 1024):
+                          chunk: int = 1024, pg: bool = False):
         """Batched-allocation replay of deferred init rows: chunks of
         `chunk` rows, ONE dispatch each (vs the sequential scan's per-row
         device time). Cross-chunk entity visibility comes from each
         chunk's entry refresh; within-chunk duplicates dedupe in
         _alloc_births. Returns (arenas, remaining_idx) with remaining_idx
-        the chained/overflow rows for exact sequential replay."""
+        the chained/overflow rows for exact sequential replay; with
+        pg=True the applied rows' log-ML accumulates into Engine.log_ml
+        (collapsed-PG init)."""
         n = len(idx)
         if n == 0:
             return arenas, idx
@@ -971,7 +979,10 @@ class Engine:
             if part.size < chunk:
                 part = np.concatenate(
                     [part, np.full(chunk - part.size, cap, np.int32)])
-            arenas, still = run(arenas, params, jnp.asarray(part), keys_all)
+            arenas, still, lml = run(arenas, params, jnp.asarray(part),
+                                     keys_all)
+            if pg:
+                self.log_ml = self.log_ml + lml
             st = _fetch_np(still)[: orig.size]
             remaining.extend(int(s) for s in orig[st])
         return arenas, np.asarray(remaining, np.int32)
@@ -1224,7 +1235,8 @@ class Engine:
         batch index of the segment."""
         nb = (num_rows + B - 1) // B
         seg_b = max(1, min(self.config.batch_segment_rows, num_rows) // B)
-        if pg_P and not (self.exact_accept and self.config.collapse_exact_pg):
+        collapsed = self.exact_accept and self.config.collapse_exact_pg
+        if pg_P and not collapsed:
             # full vmapped particle path: device work per dispatch scales
             # with B x P, so shrink the segment to keep single-dispatch
             # time bounded (same rationale as scan_init_pg's seg heuristic)
@@ -1254,7 +1266,7 @@ class Engine:
                 slots = bi * B + jnp.arange(B)
                 if not incr:
                     rel = refresh(cm, arenas, self.obs_dev)
-                if pg_P:
+                if pg_P and not collapsed:
                     env2, ok, birthy, lml = jax.vmap(
                         lambda s, k: pg_row_step(self, cid, arenas, rel,
                                                  params, s, k, s < num_rows,
@@ -1271,11 +1283,20 @@ class Engine:
                     # The boundary replay allocates them BATCHED via
                     # replay_alloc_step (in-batch dedupe + full candidate
                     # axis), so deferral no longer costs a sequential scan.
-                    env2, ok, birthy = jax.vmap(
+                    # COLLAPSED PG init takes this same body: under the
+                    # exact-Gibbs collapse the P-particle init IS the MH
+                    # init (one exact draw, accept always) plus a log-ML
+                    # of summed block logZs — init_row_step's weight,
+                    # accumulated when pg_P is set.
+                    env2, ok, birthy, w = jax.vmap(
                         lambda s, k: init_row_step(self, cid, arenas, rel,
                                                    params, s, k,
                                                    s < num_rows,
-                                                   cand=cand))(slots, bkeys)
+                                                   cand=cand,
+                                                   want_w=True))(slots,
+                                                                 bkeys)
+                    if pg_P:
+                        lml_tot = lml_tot + jnp.sum(jnp.where(ok, w, 0.0))
                 old = arenas
                 arenas = _apply_batch(cm, cid, arenas, slots, env2, ok,
                                       mark_alive=True)
@@ -1694,7 +1715,9 @@ class Engine:
         # allocator (batch_birth=False / PG), replay is the sequential
         # scan and the round-4 2048-row ramp trade stands (2048 beat
         # 512 on rents-50k: init 14.6 s vs 22.4 s).
-        base_ramp = 512 if (self.batch_birth and not pg_P) else 2048
+        collapsed = self.exact_accept and self.config.collapse_exact_pg
+        alloc = self.batch_birth and (not pg_P or collapsed)
+        base_ramp = 512 if alloc else 2048
         ramp = ((max(B, base_ramp) + B - 1) // B) * B
         ramp = ramp if spec.num_rows >= 2 * ramp else 0
         import os as _os
@@ -1770,12 +1793,13 @@ class Engine:
             if idx.size:
                 _tr = _time.time()
                 n_total = idx.size
-                if self.batch_birth and not pg_P:
+                if alloc:
                     # batched-allocation replay first (one dispatch per
                     # 1024 deferred rows); only chained/overflow rows
                     # fall through to the exact sequential scan
                     arenas, idx = self.replay_rows_alloc(
-                        cid, arenas, params, idx, rkeys)
+                        cid, arenas, params, idx, rkeys,
+                        pg=bool(pg_P))
                 if len(idx):
                     arenas = self.replay_rows(cid, arenas, params,
                                               idx, rkeys, rejuv=False,

@@ -57,6 +57,8 @@ def run(tag, seed=0, **kw):
                                          arenas, params)
     device_sync(arenas)
     t_init = time.time() - t0
+    f1_init = round(evaluate_accuracy_device(cm, arenas, params, dirty,
+                                             clean, query)["f1"], 4)
     t1 = time.time()
     arenas, params, key = eng.run(key, arenas, params)
     device_sync(arenas)
@@ -68,7 +70,10 @@ def run(tag, seed=0, **kw):
            "config": {k: v for k, v in kw.items()},
            "path": ("collapsed" if collapsed else "vmapped")
            + ("-batched" if config.batch_rows > 1 else "-sequential"),
-           "f1": round(res["f1"], 4),
+           "f1": round(res["f1"], 4), "f1_init": f1_init,
+           "env": {k: os.environ[k] for k in
+                   ("PCLEAN_MM", "JAX_DEFAULT_MATMUL_PRECISION")
+                   if k in os.environ},
            "init_sec": round(t_init, 2), "sweep_sec": round(t_sweep, 2),
            "rows_per_sec": round(n / (t_init + t_sweep), 2),
            "log_ml": float(getattr(eng, "log_ml", float("nan")))}
@@ -112,6 +117,16 @@ def main():
                 particles=16, batch=64)
             run("hospital_1k_p16_vmapped_b64_eqp", seed=seed,
                 particles=16, batch=64, collapse_exact_pg=False)
+    if "d" in which:
+        # diagnostic: does the vmapped F1 deficit appear on the
+        # SEQUENTIAL vmapped path too (more seeds), and does it track
+        # init vs sweep (f1_init)?
+        for seed in (3, 4):
+            run("hospital_1k_p16_vmapped_b64_eqp", seed=seed,
+                particles=16, batch=64, collapse_exact_pg=False)
+        for seed in (1, 2):
+            run("hospital_1k_p16_vmapped_seq", seed=seed, particles=16,
+                collapse_exact_pg=False)
 
 
 if __name__ == "__main__":
